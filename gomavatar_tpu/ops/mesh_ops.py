@@ -1,0 +1,293 @@
+"""Mesh operations: normals, edges, Laplacian, consistency losses, subdivision.
+
+TPU-native replacement for the PyTorch3D mesh surfaces the reference uses
+(``Meshes.verts_normals_padded`` models/model.py:271,
+``faces_packed_to_edges_packed``/``edges_packed`` models/model.py:115-134,
+``mesh_laplacian_smoothing`` utils/network_util.py:669-792,
+``mesh_normal_consistency`` train.py:148-153) and the trimesh-adapted
+midpoint subdivision (utils/pc_util.py:49-173).
+
+Design: mesh *topology* is static per training phase (it only changes at the
+rare subdivision milestones), so all index arrays are computed once on the
+host as numpy (`MeshTopology`), and every per-step quantity is a pure jitted
+JAX function over those static indices — gathers + segment_sums, no sparse
+matrices, no Python loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# static topology (host, numpy)
+# ---------------------------------------------------------------------------
+
+def unique_edges(faces: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique undirected edges of a triangle mesh.
+
+    Returns:
+      edges: (E, 2) int, each row sorted (lo, hi), lexicographically ordered.
+      face_to_edge: (F, 3) int, edge index of (e01, e12, e20) per face —
+        same role as PyTorch3D ``faces_packed_to_edges_packed``.
+    """
+    faces = np.asarray(faces, dtype=np.int64)
+    # per-face edges in PyTorch3D order: (v1,v2), (v0,v2), (v0,v1)
+    e12 = faces[:, [1, 2]]
+    e02 = faces[:, [0, 2]]
+    e01 = faces[:, [0, 1]]
+    all_edges = np.sort(np.concatenate([e12, e02, e01], axis=0), axis=1)
+    edges, inverse = np.unique(all_edges, axis=0, return_inverse=True)
+    F = faces.shape[0]
+    face_to_edge = np.stack([inverse[:F], inverse[F : 2 * F], inverse[2 * F :]], axis=1)
+    return edges.astype(np.int64), face_to_edge.astype(np.int64)
+
+
+def face_connectivity_pairs(faces: np.ndarray) -> np.ndarray:
+    """Pairs of faces sharing an edge (reference: models/model.py:115-125).
+
+    Returns (P, 2) int array; only interior (2-manifold) edges contribute.
+    """
+    _, face_to_edge = unique_edges(faces)
+    F = face_to_edge.shape[0]
+    edge_ids = face_to_edge.reshape(-1)
+    face_ids = np.repeat(np.arange(F, dtype=np.int64), 3)
+    order = np.argsort(edge_ids, kind="stable")
+    edge_ids, face_ids = edge_ids[order], face_ids[order]
+    # interior edges appear exactly twice
+    same = edge_ids[:-1] == edge_ids[1:]
+    pairs = np.stack([face_ids[:-1][same], face_ids[1:][same]], axis=1)
+    return pairs
+
+
+def normal_consistency_pairs(faces: np.ndarray) -> np.ndarray:
+    """Index quads (v0, v1, a, b) for the normal-consistency loss: for each
+    interior edge (v0, v1) shared by faces fa, fb, ``a``/``b`` are the
+    vertices of fa/fb opposite the edge (PyTorch3D ``mesh_normal_consistency``
+    semantics; reference loss use: train.py:148-153).
+
+    Returns (P, 4) int array.
+    """
+    faces = np.asarray(faces, dtype=np.int64)
+    pairs = face_connectivity_pairs(faces)
+    edges, face_to_edge = unique_edges(faces)
+
+    # recover for each pair the shared edge, then the opposite vertices
+    quads = np.empty((pairs.shape[0], 4), dtype=np.int64)
+    # build an (F, 3) lookup of edge ids then intersect per pair
+    fa, fb = pairs[:, 0], pairs[:, 1]
+    ea = face_to_edge[fa]  # (P, 3)
+    eb = face_to_edge[fb]  # (P, 3)
+    shared = np.zeros(pairs.shape[0], dtype=np.int64)
+    for i in range(3):
+        for j in range(3):
+            hit = ea[:, i] == eb[:, j]
+            shared = np.where(hit, ea[:, i], shared)
+    v0, v1 = edges[shared, 0], edges[shared, 1]
+
+    def opposite(face_rows, v0, v1):
+        opp = np.zeros(face_rows.shape[0], dtype=np.int64)
+        for k in range(3):
+            vk = face_rows[:, k]
+            is_opp = (vk != v0) & (vk != v1)
+            opp = np.where(is_opp, vk, opp)
+        return opp
+
+    quads[:, 0] = v0
+    quads[:, 1] = v1
+    quads[:, 2] = opposite(faces[fa], v0, v1)
+    quads[:, 3] = opposite(faces[fb], v0, v1)
+    return quads
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshTopology:
+    """Static per-phase topology bundle (host numpy, fed to jitted fns)."""
+
+    faces: np.ndarray  # (F, 3) int
+    edges: np.ndarray  # (E, 2) int, unique undirected
+    face_to_edge: np.ndarray  # (F, 3) int
+    face_connectivity: np.ndarray  # (P, 2) int, faces sharing an edge
+    nc_quads: np.ndarray  # (P, 4) int: (v0, v1, a, b) per interior edge
+    vertex_degree: np.ndarray  # (N,) float, #neighbors per vertex
+    num_vertices: int
+
+    @staticmethod
+    def build(faces: np.ndarray, num_vertices: int) -> "MeshTopology":
+        faces = np.asarray(faces, dtype=np.int64)
+        edges, face_to_edge = unique_edges(faces)
+        degree = np.zeros(num_vertices, dtype=np.float32)
+        np.add.at(degree, edges[:, 0], 1.0)
+        np.add.at(degree, edges[:, 1], 1.0)
+        return MeshTopology(
+            faces=faces,
+            edges=edges,
+            face_to_edge=face_to_edge,
+            face_connectivity=face_connectivity_pairs(faces),
+            nc_quads=normal_consistency_pairs(faces),
+            vertex_degree=degree,
+            num_vertices=num_vertices,
+        )
+
+
+# ---------------------------------------------------------------------------
+# per-step quantities (pure JAX)
+# ---------------------------------------------------------------------------
+
+def face_normals(verts: jax.Array, faces: jax.Array, normalize: bool = True) -> jax.Array:
+    """(N, 3), (F, 3) -> (F, 3) face normals (cross of edges, CCW winding)."""
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    n = jnp.cross(v1 - v0, v2 - v0)
+    if normalize:
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    return n
+
+
+def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
+    """Area-weighted vertex normals, matching PyTorch3D
+    ``verts_normals_packed`` (reference use: models/model.py:271):
+    scatter-add the unnormalized face normal to each incident vertex, then
+    normalize."""
+    n_unnorm = face_normals(verts, faces, normalize=False)  # (F, 3)
+    N = verts.shape[0]
+    acc = jnp.zeros((N, 3), dtype=verts.dtype)
+    for k in range(3):
+        acc = acc.at[faces[:, k]].add(n_unnorm)
+    return acc / (jnp.linalg.norm(acc, axis=-1, keepdims=True) + 1e-12)
+
+
+def edge_lengths(verts: jax.Array, edges: jax.Array) -> jax.Array:
+    """(N, 3), (E, 2) -> (E,) lengths (reference: models/model.py:127-134)."""
+    return jnp.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=-1)
+
+
+def uniform_laplacian_loss(
+    verts: jax.Array, edges: jax.Array, degree: jax.Array
+) -> jax.Array:
+    """mean_i || (1/deg_i) * sum_{j in N(i)} (v_j - v_i) ||^2 — the uniform
+    Laplacian smoothing objective exactly as the reference computes it
+    (utils/network_util.py:669-792 with the squared-norm modification at
+    :790), expressed with segment-sums instead of a sparse matrix.
+
+    ``degree`` is treated as a constant (the reference wraps the Laplacian in
+    ``no_grad``; here it is an index-derived constant anyway)."""
+    N = verts.shape[0]
+    acc = jnp.zeros_like(verts)
+    diff01 = verts[edges[:, 1]] - verts[edges[:, 0]]
+    acc = acc.at[edges[:, 0]].add(diff01)
+    acc = acc.at[edges[:, 1]].add(-diff01)
+    lap = acc / jnp.maximum(degree, 1.0)[:, None]
+    return jnp.mean(jnp.sum(lap * lap, axis=-1))
+
+
+def normal_consistency_loss(verts: jax.Array, nc_quads: jax.Array) -> jax.Array:
+    """PyTorch3D ``mesh_normal_consistency``: for each interior edge
+    (v0, v1) with opposite vertices a, b, penalize
+    1 - cos( cross(v1-v0, a-v0), -cross(v1-v0, b-v0) ), averaged."""
+    v0 = verts[nc_quads[:, 0]]
+    v1 = verts[nc_quads[:, 1]]
+    a = verts[nc_quads[:, 2]]
+    b = verts[nc_quads[:, 3]]
+    e = v1 - v0
+    n0 = jnp.cross(e, a - v0)
+    n1 = -jnp.cross(e, b - v0)
+    cos = jnp.sum(n0 * n1, axis=-1) / (
+        jnp.linalg.norm(n0, axis=-1) * jnp.linalg.norm(n1, axis=-1) + 1e-12
+    )
+    return jnp.mean(1.0 - cos)
+
+
+def color_consistency_loss(colors: jax.Array, face_connectivity: jax.Array) -> jax.Array:
+    """L1 between colors of edge-adjacent faces
+    (reference: utils/network_util.py:795-799)."""
+    c0 = colors[face_connectivity[:, 0]]
+    c1 = colors[face_connectivity[:, 1]]
+    return jnp.mean(jnp.abs(c0 - c1))
+
+
+def mesh_edge_loss(verts: jax.Array, edges: jax.Array, target_length: jax.Array) -> jax.Array:
+    """Squared deviation of edge lengths from targets (PyTorch3D
+    ``mesh_edge_loss`` analogue; the reference imports it, train.py:26-30,
+    though the shipped loss config leaves it off)."""
+    l = edge_lengths(verts, edges)
+    return jnp.mean((l - target_length) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# midpoint subdivision (host, numpy — runs at most a couple times per run)
+# ---------------------------------------------------------------------------
+
+def subdivide_mesh(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_attributes: dict[str, np.ndarray] | None = None,
+):
+    """1-to-4 midpoint triangle subdivision with attribute propagation.
+
+    Reference semantics (utils/pc_util.py:49-163, adapted from trimesh):
+      * one midpoint per unique edge;
+      * new faces, per old face k, in order
+        (v0, m01, m20), (m01, v1, m12), (m20, m12, v2), (m01, m12, m20)
+        so new face ``4k + j`` descends from old face ``k`` — per-face
+        quantities replicate x4 with the same layout (models/model.py:158-170);
+      * vertex attribute midpoints: 'so3' -> 0, 'scale' -> edge length,
+        otherwise mean of endpoints.
+
+    Returns (new_vertices, new_faces, new_attributes, face_index) where
+    ``face_index`` maps each new face to its source face.
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+
+    # unique edges in the reference's construction order: (v0,v1), (v1,v2), (v2,v0)
+    edges = np.sort(
+        np.stack(
+            [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=1
+        ).reshape(-1, 2),
+        axis=1,
+    )
+    unique, inverse = np.unique(edges, axis=0, return_inverse=True)
+    mid = vertices[unique].mean(axis=1)
+    mid_idx = inverse.reshape(-1, 3) + len(vertices)  # (F, 3): m01, m12, m20
+
+    m01, m12, m20 = mid_idx[:, 0], mid_idx[:, 1], mid_idx[:, 2]
+    new_faces = np.column_stack(
+        [
+            faces[:, 0], m01, m20,
+            m01, faces[:, 1], m12,
+            m20, m12, faces[:, 2],
+            m01, m12, m20,
+        ]
+    ).reshape(-1, 3)
+    new_vertices = np.vstack([vertices, mid])
+    face_index = np.repeat(np.arange(len(faces), dtype=np.int64), 4)
+
+    new_attributes = {}
+    if vertex_attributes is not None:
+        for key, values in vertex_attributes.items():
+            values = np.asarray(values)
+            if key == "so3":
+                attr_mid = np.zeros((len(unique), 3), dtype=values.dtype)
+            elif key == "scale":
+                edge_len = np.linalg.norm(
+                    vertices[unique[:, 1]] - vertices[unique[:, 0]], axis=-1
+                )
+                attr_mid = np.ones((len(unique), 3), dtype=values.dtype) * edge_len[:, None]
+            else:
+                attr_mid = values[unique].mean(axis=1)
+            new_attributes[key] = np.vstack([values, attr_mid])
+
+    return new_vertices, new_faces, new_attributes, face_index
+
+
+def replicate_face_attribute(attr: np.ndarray) -> np.ndarray:
+    """Per-face attribute (F, C) -> (4F, C) matching subdivision face order
+    (reference: models/model.py:158-170 does this as (C, F) -> (C, 4F))."""
+    attr = np.asarray(attr)
+    return np.repeat(attr, 4, axis=0)
