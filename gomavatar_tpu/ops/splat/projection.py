@@ -75,20 +75,23 @@ def project_gaussians(
     txz = jnp.clip(t[..., 0] / tz_safe, -limx, limx)
     tyz = jnp.clip(t[..., 1] / tz_safe, -limy, limy)
 
-    # J: d(pixel)/d(camera xyz), rows (x_px, y_px)
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / tz_safe, zero, -fx * txz / tz_safe], axis=-1),
-            jnp.stack([zero, fy / tz_safe, -fy * tyz / tz_safe], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    JW = mm(J, jnp.broadcast_to(R, cov3d.shape))  # (N, 2, 3)
-    cov2d = mm(mm(JW, cov3d), jnp.swapaxes(JW, -1, -2))  # (N, 2, 2)
-    a = cov2d[..., 0, 0] + blur
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + blur
+    # Rotate covariances into camera space with ONE big MXU matmul instead of
+    # N tiny 3x3 matmuls: M = R cov R^T <=> M_flat = cov_flat @ kron(R, R)^T.
+    N = cov3d.shape[0]
+    kron = jnp.einsum("ij,lk->jkil", R, R).reshape(9, 9)
+    M = jnp.matmul(cov3d.reshape(N, 9), kron, precision="highest").reshape(N, 3, 3)
+
+    # Fold in the perspective Jacobian J = [[fx/tz, 0, -fx*txz/tz],
+    # [0, fy/tz, -fy*tyz/tz]] elementwise (J has only 4 nonzeros).
+    a1 = fx / tz_safe
+    c1 = -fx * txz / tz_safe
+    b2 = fy / tz_safe
+    c2 = -fy * tyz / tz_safe
+    M00, M01, M02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    M11, M12, M22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    a = a1 * a1 * M00 + 2.0 * a1 * c1 * M02 + c1 * c1 * M22 + blur
+    b = a1 * b2 * M01 + a1 * c2 * M02 + c1 * b2 * M12 + c1 * c2 * M22
+    c = b2 * b2 * M11 + 2.0 * b2 * c2 * M12 + c2 * c2 * M22 + blur
 
     det = a * c - b * b
     invertible = det > 0.0

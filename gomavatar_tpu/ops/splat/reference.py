@@ -64,9 +64,12 @@ def render_reference(
     W, H = img_size
     N = colors.shape[0]
 
-    # depth order (invalid gaussians sort to the back and get zero opacity)
-    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
+    # depth order (invalid gaussians sort to the back and get zero opacity);
+    # uses the same quantized key as the tiled binning so tie-breaking agrees
+    from gomavatar_tpu.ops.splat.binning import depth_sort_bits
+
+    depth_key = jnp.where(proj.valid, depth_sort_bits(proj.depth), jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(depth_key, stable=True)
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     cols = colors[order]

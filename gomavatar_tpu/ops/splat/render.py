@@ -74,30 +74,32 @@ def render_gaussians(
         # gather per-entry values (autodiff turns this into a segment-sum
         # of entry gradients back onto gaussians)
         eg = bins.entry_gauss
-        entry_mean2d = proj.mean2d[eg]
-        entry_conic = proj.conic[eg]
-        entry_color = colors[eg]
-        entry_opacity = jnp.where(proj.valid, opacity, 0.0)[eg] * bins.entry_valid
+        op_eff = jnp.where(proj.valid, opacity, 0.0)
 
         if implementation == "pallas":
-            from gomavatar_tpu.ops.splat.pallas_kernel import composite_tiles_pallas
+            from gomavatar_tpu.ops.splat.pallas_kernel import (
+                composite_tiles_pallas,
+                pack_gaussian_channels,
+            )
 
+            per_gauss = pack_gaussian_channels(proj.mean2d, proj.conic, op_eff, colors)
+            entries = per_gauss[eg].T  # (NCH_pad, Dp)
+            entries = entries.at[5].multiply(bins.entry_valid)
             img, alpha = composite_tiles_pallas(
-                entry_mean2d,
-                entry_conic,
-                entry_color,
-                entry_opacity,
+                entries,
+                bins.entry_valid,
                 bins.tile_start,
                 bins.tile_count,
+                colors.shape[-1],
                 bins.num_tiles_x,
                 bins.num_tiles_y,
             )
         elif implementation == "jnp":
             img, alpha = composite_tiles_jnp(
-                entry_mean2d,
-                entry_conic,
-                entry_color,
-                entry_opacity,
+                proj.mean2d[eg],
+                proj.conic[eg],
+                colors[eg],
+                op_eff[eg] * bins.entry_valid,
                 bins.tile_start,
                 bins.tile_count,
                 bins.num_tiles_x,
