@@ -1,0 +1,327 @@
+"""The GoM (Gaussians-on-Mesh) avatar model as pure functions over pytrees.
+
+TPU-native re-design of the reference's ``Model`` (models/model.py:44-394).
+State is split three ways:
+
+  * ``params`` — learnable arrays (vertices, per-face so3/scale, appearance
+    colors, MLP weights, optionally lbs logits): a flat dict pytree that the
+    optimizer maps over;
+  * ``GoMStatics`` — per-phase non-learnable device arrays (faces, mesh
+    topology indices, target edge lengths, fixed lbs weights): an ordinary
+    pytree passed as an argument to the jitted step (NOT closed over, so it
+    is not baked into the executable as constants);
+  * ``GoMConfig`` — static Python scalars (sizes, kick-in iters, module
+    configs) that select the compiled program.
+
+The full forward (pose refine -> non-rigid -> FK -> LBS -> Steiner cov ->
+splat -> normals -> mesh raster -> shadow) is one jittable function with
+``i_iter`` traced, so a single XLA program serves the whole schedule
+(SURVEY.md §7 north star).  Mesh subdivision changes array shapes and is a
+host-side phase split, mirroring the reference's optimizer re-init
+(train.py:341-346).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gomavatar_tpu.ops.skeleton import get_global_RTs, apply_lbs
+from gomavatar_tpu.ops.steiner import face_covariances
+from gomavatar_tpu.ops.transforms import so3_exp, mm
+from gomavatar_tpu.ops.mesh_ops import (
+    MeshTopology,
+    vertex_normals,
+    edge_lengths,
+    subdivide_mesh,
+    replicate_face_attribute,
+)
+from gomavatar_tpu.ops.mesh_raster import rasterize_mesh
+from gomavatar_tpu.ops.splat.render import render_gaussians
+from gomavatar_tpu.models import modules as M
+
+
+class GoMStatics(NamedTuple):
+    """Per-phase device arrays (regular jit arguments)."""
+
+    faces: jax.Array  # (F, 3) int32
+    edges: jax.Array  # (E, 2) int32
+    nc_quads: jax.Array  # (P, 4) int32
+    face_connectivity: jax.Array  # (P, 2) int32
+    vertex_degree: jax.Array  # (N,) f32
+    target_edge_length: jax.Array  # (E,) f32
+    lbs_weights: jax.Array  # (N, J) f32 (fixed path; ignored when refining)
+
+
+@dataclasses.dataclass(frozen=True)
+class GoMConfig:
+    """Static scalars; hashable, safe to close over in jit."""
+
+    img_size: tuple[int, int]
+    num_vertices: int
+    num_faces: int
+    sigma: float = 0.001
+    radius_scale: float = 1.0
+    deform_so3: bool = True
+    deform_scale: bool = True
+    lbs_refine: bool = False
+    use_smplx: bool = False
+    # module configs as hashable tuples of items (None = module disabled)
+    pose_refinement: tuple | None = None
+    non_rigid: tuple | None = None
+    shadow: tuple | None = None
+    normal_renderer_sigma: float = 1e-5
+    splat_impl: str = "auto"
+    max_tiles_per_gaussian: int = 16
+    max_tiles_per_face: int = 8
+
+    @staticmethod
+    def from_model_cfg(model_cfg: dict, num_vertices: int, num_faces: int) -> "GoMConfig":
+        def tup(d):
+            if d is None or d.get("name", "none") == "none":
+                return None
+            return tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()))
+
+        cg = model_cfg["canonical_geometry"]
+        return GoMConfig(
+            img_size=tuple(model_cfg["img_size"]),
+            num_vertices=num_vertices,
+            num_faces=num_faces,
+            sigma=float(cg["sigma"]),
+            radius_scale=float(cg["radius_scale"]),
+            deform_so3=bool(cg["deform_so3"]),
+            deform_scale=bool(cg["deform_scale"]),
+            lbs_refine=bool(model_cfg["lbs_weights"]["refine"]),
+            use_smplx=bool(model_cfg.get("use_smplx", False)),
+            pose_refinement=tup(model_cfg.get("pose_refinement")),
+            non_rigid=tup(model_cfg.get("non_rigid")),
+            shadow=tup(model_cfg.get("shadow_module")),
+            normal_renderer_sigma=float(model_cfg.get("normal_renderer", {}).get("sigma", 1e-5)),
+        )
+
+    def module_cfg(self, name: str) -> dict | None:
+        t = getattr(self, name)
+        if t is None:
+            return None
+        return {k: (list(v) if isinstance(v, tuple) else v) for k, v in t}
+
+
+def _build_statics(faces: np.ndarray, vertices: np.ndarray, lbs_weights: np.ndarray) -> GoMStatics:
+    topo = MeshTopology.build(faces, len(vertices))
+    tel = np.linalg.norm(
+        vertices[topo.edges[:, 0]] - vertices[topo.edges[:, 1]], axis=-1
+    ).astype(np.float32)
+    return GoMStatics(
+        faces=jnp.asarray(faces, jnp.int32),
+        edges=jnp.asarray(topo.edges, jnp.int32),
+        nc_quads=jnp.asarray(topo.nc_quads, jnp.int32),
+        face_connectivity=jnp.asarray(topo.face_connectivity, jnp.int32),
+        vertex_degree=jnp.asarray(topo.vertex_degree, jnp.float32),
+        target_edge_length=jnp.asarray(tel, jnp.float32),
+        lbs_weights=jnp.asarray(lbs_weights, jnp.float32),
+    )
+
+
+def init_gom(key: jax.Array, model_cfg: dict, canonical_info: dict):
+    """Build (params, statics, gom_cfg) from a config + canonical info dict
+    (same keys the reference datasets provide, dataset/train.py:289-302:
+    canonical_vertex (N,3), canonical_lbs_weights (N,J), faces (F,3), ...).
+    Mirrors Model.__init__ (models/model.py:45-113)."""
+    vertices = np.asarray(canonical_info["canonical_vertex"], np.float32)
+    faces = np.asarray(canonical_info["faces"], np.int64)
+    lbs_w = np.asarray(canonical_info["canonical_lbs_weights"], np.float32)
+    N, F = len(vertices), len(faces)
+
+    gom_cfg = GoMConfig.from_model_cfg(model_cfg, N, F)
+    statics = _build_statics(faces, vertices, lbs_w)
+
+    k_pr, k_nr, k_sh = jax.random.split(key, 3)
+    params: dict[str, Any] = {
+        "vertices": jnp.asarray(vertices),
+        "so3": jnp.zeros((F, 3), jnp.float32),
+        "scale": jnp.full((F, 3), gom_cfg.radius_scale, jnp.float32),
+        "appearance": M.appearance_init(F, model_cfg["appearance"]["color_init"]),
+    }
+    if gom_cfg.lbs_refine:
+        params["lbs_logits"] = jnp.log(jnp.asarray(lbs_w) + 1e-9)
+    if gom_cfg.pose_refinement is not None:
+        params["pose_refinement"] = M.pose_refinement_init(k_pr, gom_cfg.module_cfg("pose_refinement"))
+    if gom_cfg.non_rigid is not None:
+        params["non_rigid"] = M.non_rigid_init(k_nr, gom_cfg.module_cfg("non_rigid"))
+    if gom_cfg.shadow is not None:
+        params["shadow"] = M.shadow_init(k_sh, gom_cfg.module_cfg("shadow"))
+    return params, statics, gom_cfg
+
+
+def _lbs_weights(params: dict, statics: GoMStatics, cfg: GoMConfig) -> jax.Array:
+    if cfg.lbs_refine:
+        # Deviation from the reference (documented): the reference stores
+        # log-weights when refining but uses them UN-exponentiated in
+        # apply_lbs (models/model.py:69,212-216 — latent bug, never enabled
+        # in shipped configs).  We normalize with softmax.
+        return jax.nn.softmax(params["lbs_logits"], axis=-1)
+    return statics.lbs_weights
+
+
+def gom_forward(
+    params: dict,
+    statics: GoMStatics,
+    cfg: GoMConfig,
+    K: jax.Array,
+    E: jax.Array,
+    cnl_gtfms: jax.Array,
+    dst_Rs: jax.Array,
+    dst_Ts: jax.Array,
+    dst_posevec: jax.Array | None = None,
+    i_iter: jax.Array | float = 1e7,
+    global_R: jax.Array | None = None,
+    global_T: jax.Array | None = None,
+    train: bool = False,
+):
+    """Single-frame forward pass (reference: Model.forward,
+    models/model.py:184-303).  Unbatched — multi-frame/-scene batching goes
+    through vmap/shard_map in gomavatar_tpu.parallel.
+
+    Returns (rgb (H, W, 3), mask (H, W), aux dict).
+    """
+    i_iter = jnp.asarray(i_iter, jnp.float32)
+
+    # 1. pose refinement (gated by kick_in_iter, model.py:193-196)
+    if cfg.pose_refinement is not None:
+        pr_cfg = cfg.module_cfg("pose_refinement")
+        delta = M.pose_refinement_apply(
+            params["pose_refinement"],
+            dst_posevec,
+            total_bones=pr_cfg["total_bones"],
+            refine_root=pr_cfg["refine_root"],
+        )
+        gate = i_iter >= pr_cfg["kick_in_iter"]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=delta.dtype), delta.shape)
+        delta = jnp.where(gate, delta, eye)
+        dst_Rs = mm(dst_Rs, delta)
+
+    # 2. non-rigid offsets (gated, Hann-annealed PE, model.py:200-208)
+    verts_cnl = params["vertices"]
+    if cfg.non_rigid is not None:
+        nr_cfg = cfg.module_cfg("non_rigid")
+        verts_nr = M.non_rigid_apply(params["non_rigid"], nr_cfg, verts_cnl, dst_posevec, i_iter)
+        verts_pose = jnp.where(i_iter >= nr_cfg["kick_in_iter"], verts_nr, verts_cnl)
+    else:
+        verts_pose = verts_cnl
+
+    # 3. FK + LBS (model.py:213-216)
+    gR, gT = get_global_RTs(cnl_gtfms, dst_Rs, dst_Ts, use_smplx=cfg.use_smplx)
+    verts_obs = apply_lbs(verts_pose, gR, gT, _lbs_weights(params, statics, cfg))
+
+    # 4. optional global transform (PeopleSnapshot pose-opt, model.py:218-221)
+    if global_R is not None:
+        Rg = so3_exp(global_R)
+        verts_obs = mm(verts_obs, Rg.T) + global_T
+
+    faces = statics.faces
+
+    # 5. Steiner covariances in observation space (model.py:227-234)
+    cov = face_covariances(verts_obs, faces, params["so3"], params["scale"], cfg.sigma)
+    centroids = verts_obs[faces].mean(axis=1)
+
+    # 6. appearance + splat render (model.py:236-250); alpha is native here
+    # (no 3-channel chunking, cf. gaussian.py:77-94)
+    colors = M.appearance_apply(params["appearance"])
+    opacity = jnp.ones((cfg.num_faces,), jnp.float32)
+    albedo, mask = render_gaussians(
+        centroids,
+        cov,
+        colors,
+        opacity,
+        K,
+        E,
+        cfg.img_size,
+        implementation=cfg.splat_impl,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+    )
+
+    # 7. vertex normals -> camera space -> mesh raster (model.py:270-274)
+    normals = vertex_normals(verts_obs, faces)
+    normals_cam = mm(normals, E[:3, :3].T)
+    mesh_out = rasterize_mesh(
+        verts_obs,
+        normals_cam,
+        faces,
+        K,
+        E,
+        cfg.img_size,
+        soft_mask=train,
+        blur_sigma=cfg.normal_renderer_sigma,
+        max_tiles_per_face=cfg.max_tiles_per_face,
+    )
+
+    # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)
+    if cfg.shadow is not None:
+        sh_cfg = cfg.module_cfg("shadow")
+        shading = M.shadow_apply(params["shadow"], sh_cfg, mesh_out.normal.reshape(-1, 3))
+        shading = shading.reshape(cfg.img_size[1], cfg.img_size[0], 1) * 2.0
+        rgb = albedo * shading
+    else:
+        shading = None
+        rgb = albedo
+
+    aux: dict[str, Any] = {}
+    if train:
+        aux = {
+            "colors": colors,
+            "verts_obs": verts_obs,
+            "verts_cnl": verts_cnl,
+            "albedo": albedo,
+            "normal": mesh_out.normal,
+            "normal_mask": mesh_out.soft_mask,
+            "shadow": shading,
+        }
+    return rgb, mask, aux
+
+
+def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):
+    """1->4 midpoint subdivision of the whole model state (host-side), the
+    coarse-to-fine phase change of the reference (Model.subdivide,
+    models/model.py:136-179): vertices/lbs weights via midpoint attributes,
+    per-face so3/scale/appearance replicated x4.
+
+    Returns new (params, statics, cfg) — array shapes change, so training
+    must re-jit and rebuild the optimizer (train.py:341-346).
+    """
+    verts = np.asarray(params["vertices"], np.float64)
+    faces = np.asarray(statics.faces, np.int64)
+    if cfg.lbs_refine:
+        lbs_attr = np.asarray(jax.nn.softmax(params["lbs_logits"], axis=-1), np.float64)
+    else:
+        lbs_attr = np.asarray(statics.lbs_weights, np.float64)
+
+    new_verts, new_faces, attrs, _ = subdivide_mesh(
+        verts, faces, {"weights": lbs_attr}
+    )
+    new_lbs = attrs["weights"].astype(np.float32)
+    N2, F2 = len(new_verts), len(new_faces)
+
+    new_params = dict(params)
+    new_params["vertices"] = jnp.asarray(new_verts, jnp.float32)
+    new_params["so3"] = jnp.asarray(
+        replicate_face_attribute(np.asarray(params["so3"])), jnp.float32
+    )
+    new_params["scale"] = jnp.asarray(
+        replicate_face_attribute(np.asarray(params["scale"])), jnp.float32
+    )
+    new_params["appearance"] = {
+        "colors": jnp.asarray(
+            replicate_face_attribute(np.asarray(params["appearance"]["colors"])),
+            jnp.float32,
+        )
+    }
+    if cfg.lbs_refine:
+        new_params["lbs_logits"] = jnp.log(jnp.asarray(new_lbs) + 1e-9)
+
+    new_statics = _build_statics(new_faces, new_verts, new_lbs)
+    new_cfg = dataclasses.replace(cfg, num_vertices=N2, num_faces=F2)
+    return new_params, new_statics, new_cfg

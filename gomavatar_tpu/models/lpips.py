@@ -1,0 +1,145 @@
+"""LPIPS perceptual metric/loss in pure JAX (VGG16 trunk + linear heads).
+
+TPU-native port of the reference's vendored LPIPS (utils/lpips/lpips.py:23-123
++ pretrained_networks.py): scaling layer -> VGG16 relu{1_2,2_2,3_3,4_3,5_3}
+features -> channel-unit-normalize -> 1x1 linear heads -> spatial mean ->
+sum over layers.
+
+Weights:
+  * the 5 linear heads load from the reference's ``vgg.pth`` data file
+    (utils/lpips/weights/v0.1/vgg.pth, 7 KB) via :func:`load_torch_heads`;
+  * the VGG16 backbone (~528 MB, torchvision pretrained) is NOT shipped and
+    this environment has no network egress — :func:`load_torch_vgg16`
+    converts a user-supplied torchvision checkpoint; without one,
+    :func:`init_lpips` falls back to a fixed-seed random backbone.  Random
+    VGG features still give a usable perceptual-style training signal
+    (random-projection metric) but LPIPS *values* are then NOT comparable
+    with published numbers — eval marks them ``lpips_uncalibrated``.
+
+Convs run in bfloat16 on the MXU by default (the dominant FLOPs of the
+training step); set ``bf16=False`` for f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 feature config: conv channel widths, 'M' = 2x2 max pool.
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+# indices (in conv order) after which LPIPS taps features: relu1_2 ... relu5_3
+_TAPS = [1, 3, 6, 9, 12]
+_TAP_CHANNELS = [64, 128, 256, 512, 512]
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_lpips(key: jax.Array | None = None, heads: list[np.ndarray] | None = None):
+    """Random-backbone fallback init (see module docstring).  ``heads``
+    optionally supplies converted linear-head weights."""
+    if key is None:
+        key = jax.random.PRNGKey(1234)
+    convs = []
+    c_in = 3
+    k = key
+    for c in _VGG_CFG:
+        if c == "M":
+            continue
+        k, sub = jax.random.split(k)
+        fan_in = c_in * 9
+        w = jax.random.normal(sub, (3, 3, c_in, c), jnp.float32) * np.sqrt(2.0 / fan_in)
+        convs.append({"w": w, "b": jnp.zeros((c,), jnp.float32)})
+        c_in = c
+    if heads is None:
+        head_ws = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _TAP_CHANNELS]
+        calibrated = False
+    else:
+        head_ws = [jnp.asarray(h.reshape(-1, 1), jnp.float32) for h in heads]
+        calibrated = False  # heads alone don't calibrate a random trunk
+    return {"convs": convs, "heads": head_ws}, calibrated
+
+
+def load_torch_heads(path: str) -> list[np.ndarray]:
+    """Convert the reference's LPIPS linear-head checkpoint
+    (``utils/lpips/weights/v0.1/vgg.pth``: keys ``lin{i}.model.1.weight``
+    with shape (1, C, 1, 1))."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    heads = []
+    for i in range(5):
+        w = sd[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+        heads.append(np.maximum(w, 0.0))  # lpips clamps head weights >= 0 at use
+    return heads
+
+
+def load_torch_vgg16(path: str, heads_path: str | None = None):
+    """Convert a torchvision VGG16 checkpoint (``vgg16-*.pth``) (+ optional
+    heads) into LPIPS params.  Returns (params, calibrated=True)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    convs = []
+    idx = 0
+    for c in _VGG_CFG:
+        if c == "M":
+            idx += 1
+            continue
+        w = sd[f"features.{idx}.weight"].numpy()  # (out, in, 3, 3)
+        b = sd[f"features.{idx}.bias"].numpy()
+        convs.append(
+            {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+        )
+        idx += 2  # conv + relu
+    if heads_path is not None:
+        heads = [jnp.asarray(h.reshape(-1, 1)) for h in load_torch_heads(heads_path)]
+    else:
+        heads = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _TAP_CHANNELS]
+    return {"convs": convs, "heads": heads}, heads_path is not None
+
+
+def _vgg_features(params, x, bf16: bool):
+    """x: (H, W, 3) in [-1, 1] -> list of tap feature maps (h, w, c)."""
+    h = (x - _SHIFT) / _SCALE
+    h = h[None]  # (1, H, W, 3)
+    if bf16:
+        h = h.astype(jnp.bfloat16)
+    feats = []
+    conv_i = 0
+    dn = jax.lax.conv_dimension_numbers(h.shape, (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    for c in _VGG_CFG:
+        if c == "M":
+            h = jax.lax.reduce_window(
+                h, jnp.array(-jnp.inf, h.dtype), jax.lax.max,
+                (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+            )
+            continue
+        w = params["convs"][conv_i]["w"]
+        b = params["convs"][conv_i]["b"]
+        if bf16:
+            w = w.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME", dimension_numbers=dn)
+        h = jax.nn.relu(h + b)
+        if conv_i in _TAPS:
+            feats.append(h[0].astype(jnp.float32))
+        conv_i += 1
+    return feats
+
+
+def lpips(params, pred: jax.Array, gt: jax.Array, bf16: bool = True) -> jax.Array:
+    """LPIPS distance between two (H, W, 3) images in [-1, 1]
+    (utils/lpips/lpips.py forward: unit-normalize, squared diff, 1x1 head,
+    spatial mean, sum over the 5 taps)."""
+    f_p = _vgg_features(params, pred, bf16)
+    f_g = _vgg_features(params, gt, bf16)
+    total = 0.0
+    for fp, fg, head in zip(f_p, f_g, params["heads"]):
+        np_ = fp / (jnp.linalg.norm(fp, axis=-1, keepdims=True) + 1e-10)
+        ng_ = fg / (jnp.linalg.norm(fg, axis=-1, keepdims=True) + 1e-10)
+        d = (np_ - ng_) ** 2  # (h, w, c)
+        w = jnp.maximum(head[:, 0], 0.0)
+        total = total + jnp.mean(jnp.sum(d * w, axis=-1))
+    return total

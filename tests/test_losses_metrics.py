@@ -1,0 +1,90 @@
+"""Losses and metrics vs reference semantics and simple oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from gomavatar_tpu.losses import dilate_mask, unpack
+from gomavatar_tpu.metrics import psnr, ssim_skimage, ssim_torchmetrics
+from gomavatar_tpu.models.lpips import init_lpips, lpips
+
+
+def test_dilate_matches_torch_maxpool(rng):
+    m = rng.random((33, 47)).astype(np.float32)
+    ours = np.asarray(dilate_mask(jnp.asarray(m), 7))
+    theirs = (
+        F.max_pool2d(torch.from_numpy(m)[None, None], kernel_size=7, stride=1, padding=3)[0, 0]
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-7)
+
+
+def test_unpack_matches_reference(rng):
+    rgb = jnp.asarray(rng.random((8, 8, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random((8, 8)), jnp.float32)
+    bg = jnp.asarray([0.2, 0.4, 0.6], jnp.float32)
+    out = np.asarray(unpack(rgb, mask, bg))
+    expect = np.asarray(rgb) * np.asarray(mask)[..., None] + np.asarray(bg) * (
+        1 - np.asarray(mask)[..., None]
+    )
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_psnr_formula(rng):
+    a = jnp.asarray(rng.random((16, 16, 3)), jnp.float32)
+    b = jnp.asarray(rng.random((16, 16, 3)), jnp.float32)
+    mse = float(jnp.mean((a - b) ** 2))
+    np.testing.assert_allclose(float(psnr(a, b)), -10 * np.log10(mse), rtol=1e-5)
+
+
+def test_ssim_identical_images():
+    a = jnp.asarray(np.random.default_rng(0).random((32, 32, 3)), jnp.float32)
+    assert float(ssim_skimage(a, a)) > 0.9999
+    assert float(ssim_torchmetrics(a, a)) > 0.9999
+
+
+def test_ssim_ordering(rng):
+    a = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+    small_noise = a + 0.01 * jnp.asarray(rng.standard_normal((32, 32, 3)), jnp.float32)
+    big_noise = a + 0.3 * jnp.asarray(rng.standard_normal((32, 32, 3)), jnp.float32)
+    for f in (ssim_skimage, ssim_torchmetrics):
+        s_small = float(f(a, small_noise))
+        s_big = float(f(a, big_noise))
+        assert 1.0 > s_small > s_big
+
+
+def test_ssim_torchmetrics_parity(rng):
+    """Cross-check against torchmetrics if available (it ships in the env
+    only if installed — skip otherwise)."""
+    try:
+        from torchmetrics.image import StructuralSimilarityIndexMeasure
+    except Exception:
+        import pytest
+
+        pytest.skip("torchmetrics not available")
+    a = rng.random((1, 3, 41, 37)).astype(np.float32)
+    b = rng.random((1, 3, 41, 37)).astype(np.float32)
+    tm = StructuralSimilarityIndexMeasure(data_range=1.0)
+    expect = float(tm(torch.from_numpy(a), torch.from_numpy(b)))
+    ours = float(
+        ssim_torchmetrics(
+            jnp.asarray(a[0].transpose(1, 2, 0)), jnp.asarray(b[0].transpose(1, 2, 0))
+        )
+    )
+    np.testing.assert_allclose(ours, expect, atol=2e-3)
+
+
+def test_lpips_basic_properties(rng):
+    params, _ = init_lpips()
+    a = jnp.asarray(rng.random((32, 32, 3)) * 2 - 1, jnp.float32)
+    b = jnp.asarray(rng.random((32, 32, 3)) * 2 - 1, jnp.float32)
+    d_aa = float(lpips(params, a, a, bf16=False))
+    d_ab = float(lpips(params, a, b, bf16=False))
+    assert d_aa < 1e-6
+    assert d_ab > d_aa
+    # differentiable
+    g = jax.grad(lambda x: lpips(params, x, b, bf16=False))(a)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
