@@ -1,0 +1,84 @@
+"""Dataset classes over the synthetic preprocessed dir."""
+
+import numpy as np
+import pytest
+
+from gomavatar_tpu.data.synthetic import write_synthetic_dataset
+from gomavatar_tpu.data.dataset import TrainDataset, FreeviewDataset, Prefetcher
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    return write_synthetic_dataset(str(d), n_frames=4, img_hw=(48, 48))
+
+
+EXPECTED_KEYS = {
+    "frame_name", "bgcolor", "K", "E", "target_rgbs", "target_masks",
+    "dst_poses", "dst_Rs", "dst_Ts", "cnl_gtfms", "dst_posevec",
+}
+
+
+def test_train_dataset_item(data_dir):
+    ds = TrainDataset(data_dir, bgcolor=[0, 0, 0])
+    assert len(ds) == 4
+    item = ds[0]
+    assert EXPECTED_KEYS.issubset(item.keys())
+    H, W = item["target_rgbs"].shape[:2]
+    assert item["target_masks"].shape == (H, W)
+    assert item["dst_Rs"].shape == (24, 3, 3)
+    assert item["dst_Ts"].shape == (24, 3)
+    assert item["cnl_gtfms"].shape == (24, 4, 4)
+    assert item["dst_posevec"].shape == (69,)
+    # Lanczos resampling overshoots slightly; the reference doesn't clamp
+    # in the dataset either (dataset/train.py:157-162)
+    assert -0.15 <= item["target_rgbs"].min() and item["target_rgbs"].max() <= 1.15
+    assert item["target_masks"].max() > 0.5  # the body is in frame
+
+
+def test_train_dataset_random_bg(data_dir):
+    ds = TrainDataset(data_dir, bgcolor=None, rng=np.random.default_rng(0))
+    a = ds[0]["bgcolor"]
+    b = ds[0]["bgcolor"]
+    assert not np.allclose(a, b)  # random background per fetch
+
+
+def test_train_dataset_canonical_info(data_dir):
+    ds = TrainDataset(data_dir, bgcolor=[0, 0, 0])
+    info = ds.get_canonical_info()
+    for k in ("canonical_joints", "canonical_vertex", "canonical_lbs_weights", "faces"):
+        assert info[k] is not None
+    assert info["canonical_lbs_weights"].shape[1] == 24
+
+
+def test_train_dataset_skip_and_maxframes(data_dir):
+    assert len(TrainDataset(data_dir, skip=2, bgcolor=[0, 0, 0])) == 2
+    assert len(TrainDataset(data_dir, maxframes=3, bgcolor=[0, 0, 0])) == 3
+
+
+def test_train_dataset_crop(data_dir):
+    ds = TrainDataset(data_dir, bgcolor=[0, 0, 0], crop_size=(32, 32), rng=np.random.default_rng(0))
+    item = ds[0]
+    assert item["target_rgbs"].shape == (32, 32, 3)
+    # K principal point shifted into crop frame
+    assert item["K"][0, 2] < 48
+
+
+def test_freeview_dataset(data_dir):
+    ds = FreeviewDataset(data_dir, frame_idx=0, total_frames=8)
+    assert len(ds) == 8
+    a, b = ds[0], ds[4]
+    assert a["E"].shape == (4, 4)
+    # opposite side of the orbit -> different extrinsics
+    assert np.abs(a["E"] - b["E"]).max() > 0.1
+    # orbit preserves distance to the subject center
+    for it in (a, b):
+        campos = -it["E"][:3, :3].T @ it["E"][:3, 3]
+        assert np.isfinite(campos).all()
+
+
+def test_prefetcher(data_dir):
+    ds = TrainDataset(data_dir, bgcolor=[0, 0, 0])
+    items = list(Prefetcher(ds, order=[0, 1, 2, 3]))
+    assert len(items) == 4
+    assert items[2]["frame_name"] == "frame_000002"
