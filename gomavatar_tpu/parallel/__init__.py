@@ -1,0 +1,6 @@
+from gomavatar_tpu.parallel.mesh import make_mesh
+from gomavatar_tpu.parallel.step import (
+    make_data_parallel_train_step,
+    make_multi_scene_render,
+    stack_batches,
+)
