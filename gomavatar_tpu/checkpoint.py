@@ -59,7 +59,7 @@ def restore_checkpoint(path: str, params_like, opt_state_like):
         "opt_state": opt_state_like,
         "meta": {"iter": np.asarray(0), "phase": np.asarray(0)},
     }
-    payload = ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(template))
+    payload = ckptr.restore(os.path.abspath(path), template)
     return (
         payload["params"],
         payload["opt_state"],

@@ -1,0 +1,141 @@
+"""Evaluation driver (CLI): the reference's eval.py:183-365 —
+``--type {view, pose, train, freeview, pose_mdm}`` dispatch, checkpoint
+load with subdivision replay, per-frame rendering + metrics, PNG dumps.
+
+    python -m gomavatar_tpu.cli.evaluate --cfg configs/exps/zju-mocap_377.yaml \
+        --type view [--iter N] [--frame_idx I] [--n_frames N] [--pose_path P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from gomavatar_tpu.config import make_cfg
+from gomavatar_tpu.trainer import Trainer
+from gomavatar_tpu.data.dataset import (
+    TrainDataset,
+    ZJUTestDataset,
+    FreeviewDataset,
+    NewPoseDataset,
+    to_device,
+)
+from gomavatar_tpu.eval_lib import Evaluator, EvaluatorSnapshot, to_8b_image
+from gomavatar_tpu.losses import unpack
+from gomavatar_tpu.cli.train import setup_logging
+
+
+def model_size_mb(params) -> float:
+    """Total parameter bytes (reference logs it at eval, eval.py:321-325)."""
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)) / 1e6
+
+
+def build_dataset(cfg, args):
+    t = args.type
+    if t == "view":
+        d = cfg["dataset"]["test_view"]
+        if d.get("name", "zju-mocap") == "snapshot":
+            return TrainDataset(
+                d["dataset_path"], bgcolor=cfg["bgcolor"], skip=d.get("skip", 1),
+                target_size=cfg["img_size"],
+            ), "snapshot"
+        return ZJUTestDataset(
+            d["raw_dataset_path"], d["dataset_path"], test_type="view",
+            bgcolor=cfg["bgcolor"], exclude_view=d.get("exclude_view", 0),
+            skip=d.get("skip", 30),
+        ), "zju"
+    if t == "pose":
+        d = cfg["dataset"]["test_pose"]
+        return ZJUTestDataset(
+            d["raw_dataset_path"], d["dataset_path"], test_type="pose",
+            bgcolor=cfg["bgcolor"], skip=d.get("skip", 30),
+        ), "zju"
+    if t == "train":
+        d = cfg["dataset"]["train"]
+        return TrainDataset(
+            d["dataset_path"], bgcolor=cfg["bgcolor"], skip=d.get("skip", 1),
+            target_size=cfg["img_size"],
+        ), "zju"
+    if t == "freeview":
+        d = cfg["dataset"]["test_freeview"]
+        return FreeviewDataset(
+            d["dataset_path"], frame_idx=args.frame_idx, total_frames=args.n_frames,
+            bgcolor=cfg["bgcolor"], src_type=d.get("src_type", "zju_mocap"),
+            target_size=cfg["img_size"],
+        ), None
+    if t == "pose_mdm":
+        d = cfg["dataset"]["test_pose_mdm"]
+        return NewPoseDataset(
+            d["dataset_path"], args.pose_path or d["pose_path"], bgcolor=cfg["bgcolor"],
+            img_size=tuple(cfg["img_size"]),
+        ), None
+    raise ValueError(args.type)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--type", default="view",
+                    choices=["view", "pose", "train", "freeview", "pose_mdm"])
+    ap.add_argument("--iter", type=int, default=None)
+    ap.add_argument("--frame_idx", type=int, default=0)
+    ap.add_argument("--n_frames", type=int, default=100)
+    ap.add_argument("--pose_path", default=None)
+    ap.add_argument("--bgcolor", type=float, nargs=3, default=None)
+    args = ap.parse_args()
+
+    cfg = make_cfg(args.cfg)
+    cfg["model"]["eval_mode"] = True
+    if args.bgcolor is not None:
+        cfg["bgcolor"] = list(args.bgcolor)
+    setup_logging(cfg["save_dir"], filename=f"log_eval_{args.type}.txt")
+
+    dataset, protocol = build_dataset(cfg, args)
+    trainer = Trainer(cfg, dataset.get_canonical_info())
+    it = trainer.load_for_eval(os.path.join(cfg["save_dir"], "checkpoints"), args.iter)
+    logging.info("loaded iter %d; model size %.2f MB", it, model_size_mb(trainer.params))
+
+    # novel-pose protocols disable the pose refiner (eval.py:327-329)
+    if args.type in ("pose", "pose_mdm") and "pose_refinement" in trainer.params:
+        import dataclasses
+
+        trainer.gom_cfg = dataclasses.replace(trainer.gom_cfg, pose_refinement=None)
+
+    evaluator = None
+    if protocol == "zju":
+        evaluator = Evaluator()
+    elif protocol == "snapshot":
+        evaluator = EvaluatorSnapshot()
+
+    out_dir = os.path.join(cfg["save_dir"], "eval", args.type)
+    os.makedirs(out_dir, exist_ok=True)
+    bg = jnp.asarray(np.asarray(cfg["bgcolor"], np.float32) / 255.0)
+
+    for i in range(len(dataset)):
+        item = dataset[i]
+        batch = to_device(item)
+        rgb, mask, _ = trainer.forward(batch)
+        pred = np.asarray(unpack(rgb, mask, bg, clamp=True))
+        Image.fromarray(to_8b_image(pred)).save(
+            os.path.join(out_dir, item["frame_name"] + ".png")
+        )
+        if evaluator is not None:
+            evaluator.evaluate(pred, np.asarray(item["target_rgbs"]))
+        if i % 10 == 0:
+            logging.info("rendered %d/%d", i, len(dataset))
+
+    if evaluator is not None:
+        means = evaluator.summarize(
+            os.path.join(cfg["save_dir"], "eval", f"metric_{args.type}.npy")
+        )
+        logging.info("metrics: %s", {k: round(v, 4) for k, v in means.items()})
+
+
+if __name__ == "__main__":
+    main()

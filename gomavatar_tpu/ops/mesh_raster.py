@@ -90,6 +90,7 @@ def rasterize_mesh(
     max_tiles_per_face: int = 16,
     buffer_factor: int = 8,
     max_chunks: int = 64,
+    implementation: str = "auto",
 ) -> MeshRasterOut:
     """Rasterize the mesh.
 
@@ -140,7 +141,35 @@ def rasterize_mesh(
     ent = per_face[bins.entry_gauss]  # (Dp, 12)
     ent_valid = bins.entry_valid * in_front[bins.entry_gauss].astype(jnp.float32)
 
-    sigma_px2 = sigma / (ndc_per_px * ndc_per_px)  # sigmoid temp in px^2
+    sigma_px2 = float(sigma) / (ndc_per_px * ndc_per_px)  # sigmoid temp in px^2
+
+    if implementation == "auto":
+        implementation = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    if implementation == "pallas":
+        from gomavatar_tpu.ops.mesh_raster_pallas import mesh_composite_pallas, NCH
+
+        F = per_face.shape[0]
+        per_face16 = jnp.concatenate(
+            [
+                per_face,
+                jnp.ones((F, 1), jnp.float32),  # row 12: validity marker
+                jnp.zeros((F, NCH - 13), jnp.float32),
+            ],
+            axis=-1,
+        )
+        entries = per_face16[bins.entry_gauss].T  # (16, Dp)
+        entries = entries.at[12].multiply(ent_valid)
+        normal, mask, soft = mesh_composite_pallas(
+            entries,
+            ent_valid,
+            bins.tile_start,
+            bins.tile_count,
+            bins.num_tiles_x,
+            bins.num_tiles_y,
+            soft_mask,
+            sigma_px2,
+        )
+        return MeshRasterOut(normal=normal, mask=mask, soft_mask=soft if soft_mask else None)
 
     P = TILE * TILE
     Dp = ent.shape[0]
