@@ -35,7 +35,7 @@ from gomavatar_tpu.ops.steiner import face_covariances
 from gomavatar_tpu.ops.transforms import so3_exp, mm
 from gomavatar_tpu.ops.mesh_ops import (
     MeshTopology,
-    vertex_normals,
+    vertex_normals_incidence,
     edge_lengths,
     subdivide_mesh,
     replicate_face_attribute,
@@ -55,6 +55,8 @@ class GoMStatics(NamedTuple):
     vertex_degree: jax.Array  # (N,) f32
     target_edge_length: jax.Array  # (E,) f32
     lbs_weights: jax.Array  # (N, J) f32 (fixed path; ignored when refining)
+    vf_incidence: jax.Array  # (N, maxdeg) int32 incident faces per vertex
+    vf_valid: jax.Array  # (N, maxdeg) f32 mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +125,8 @@ def _build_statics(faces: np.ndarray, vertices: np.ndarray, lbs_weights: np.ndar
         vertex_degree=jnp.asarray(topo.vertex_degree, jnp.float32),
         target_edge_length=jnp.asarray(tel, jnp.float32),
         lbs_weights=jnp.asarray(lbs_weights, jnp.float32),
+        vf_incidence=jnp.asarray(topo.vf_incidence, jnp.int32),
+        vf_valid=jnp.asarray(topo.vf_valid, jnp.float32),
     )
 
 
@@ -245,7 +249,9 @@ def gom_forward(
     )
 
     # 7. vertex normals -> camera space -> mesh raster (model.py:270-274)
-    normals = vertex_normals(verts_obs, faces)
+    normals = vertex_normals_incidence(
+        verts_obs, faces, statics.vf_incidence, statics.vf_valid
+    )
     normals_cam = mm(normals, E[:3, :3].T)
     mesh_out = rasterize_mesh(
         verts_obs,
@@ -281,6 +287,66 @@ def gom_forward(
             "shadow": shading,
         }
     return rgb, mask, aux
+
+
+def export_canonical_pointcloud(params: dict, statics: GoMStatics, cfg: GoMConfig):
+    """Canonical-space splat export (reference: Model.export_canonical_pointcloud,
+    models/model.py:326-346): vertices, opacities, per-face colors and
+    covariances in canonical space — for external 3DGS viewers."""
+    verts = params["vertices"]
+    faces = statics.faces
+    cov = face_covariances(verts, faces, params["so3"], params["scale"], cfg.sigma)
+    colors = M.appearance_apply(params["appearance"])
+    centroids = verts[faces].mean(axis=1)
+    opacity = jnp.ones((cfg.num_faces,), jnp.float32)
+    return {
+        "xyz": centroids,
+        "vertices": verts,
+        "opacity": opacity,
+        "colors": colors,
+        "cov": cov,
+    }
+
+
+def export_warped_pointcloud(
+    params: dict,
+    statics: GoMStatics,
+    cfg: GoMConfig,
+    cnl_gtfms: jax.Array,
+    dst_Rs: jax.Array,
+    dst_Ts: jax.Array,
+    dst_posevec: jax.Array | None = None,
+    i_iter: float = 1e7,
+):
+    """Observation-space splat export for a given pose (reference:
+    Model.export_warped_pointcloud, models/model.py:348-391)."""
+    i_iter = jnp.asarray(i_iter, jnp.float32)
+    if cfg.pose_refinement is not None and dst_posevec is not None:
+        pr_cfg = cfg.module_cfg("pose_refinement")
+        delta = M.pose_refinement_apply(
+            params["pose_refinement"], dst_posevec,
+            total_bones=pr_cfg["total_bones"], refine_root=pr_cfg["refine_root"],
+        )
+        gate = i_iter >= pr_cfg["kick_in_iter"]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=delta.dtype), delta.shape)
+        dst_Rs = mm(dst_Rs, jnp.where(gate, delta, eye))
+    verts = params["vertices"]
+    if cfg.non_rigid is not None and dst_posevec is not None:
+        nr_cfg = cfg.module_cfg("non_rigid")
+        verts_nr = M.non_rigid_apply(params["non_rigid"], nr_cfg, verts, dst_posevec, i_iter)
+        verts = jnp.where(i_iter >= nr_cfg["kick_in_iter"], verts_nr, verts)
+    gR, gT = get_global_RTs(cnl_gtfms, dst_Rs, dst_Ts, use_smplx=cfg.use_smplx)
+    verts_obs = apply_lbs(verts, gR, gT, _lbs_weights(params, statics, cfg))
+    faces = statics.faces
+    cov = face_covariances(verts_obs, faces, params["so3"], params["scale"], cfg.sigma)
+    colors = M.appearance_apply(params["appearance"])
+    return {
+        "xyz": verts_obs[faces].mean(axis=1),
+        "vertices": verts_obs,
+        "opacity": jnp.ones((cfg.num_faces,), jnp.float32),
+        "colors": colors,
+        "cov": cov,
+    }
 
 
 def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):

@@ -104,6 +104,29 @@ def normal_consistency_pairs(faces: np.ndarray) -> np.ndarray:
     return quads
 
 
+def vertex_face_incidence(faces: np.ndarray, num_vertices: int):
+    """Padded per-vertex incident-face table.
+
+    Returns (incidence (N, maxdeg) int, valid (N, maxdeg) float): TPU
+    scatter-adds are slow, so vertex normals are computed as a GATHER over
+    this static table instead (see :func:`vertex_normals_incidence`).
+    Padding entries index face 0 with weight 0.
+    """
+    faces = np.asarray(faces, dtype=np.int64)
+    N = num_vertices
+    lists: list[list[int]] = [[] for _ in range(N)]
+    for f_idx in range(len(faces)):
+        for v in faces[f_idx]:
+            lists[v].append(f_idx)
+    maxdeg = max(1, max(len(l) for l in lists))
+    inc = np.zeros((N, maxdeg), dtype=np.int64)
+    valid = np.zeros((N, maxdeg), dtype=np.float32)
+    for v, l in enumerate(lists):
+        inc[v, : len(l)] = l
+        valid[v, : len(l)] = 1.0
+    return inc, valid
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshTopology:
     """Static per-phase topology bundle (host numpy, fed to jitted fns)."""
@@ -114,6 +137,8 @@ class MeshTopology:
     face_connectivity: np.ndarray  # (P, 2) int, faces sharing an edge
     nc_quads: np.ndarray  # (P, 4) int: (v0, v1, a, b) per interior edge
     vertex_degree: np.ndarray  # (N,) float, #neighbors per vertex
+    vf_incidence: np.ndarray  # (N, maxdeg) int, incident faces per vertex
+    vf_valid: np.ndarray  # (N, maxdeg) float mask
     num_vertices: int
 
     @staticmethod
@@ -123,6 +148,7 @@ class MeshTopology:
         degree = np.zeros(num_vertices, dtype=np.float32)
         np.add.at(degree, edges[:, 0], 1.0)
         np.add.at(degree, edges[:, 1], 1.0)
+        inc, valid = vertex_face_incidence(faces, num_vertices)
         return MeshTopology(
             faces=faces,
             edges=edges,
@@ -130,6 +156,8 @@ class MeshTopology:
             face_connectivity=face_connectivity_pairs(faces),
             nc_quads=normal_consistency_pairs(faces),
             vertex_degree=degree,
+            vf_incidence=inc,
+            vf_valid=valid,
             num_vertices=num_vertices,
         )
 
@@ -153,12 +181,26 @@ def vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
     """Area-weighted vertex normals, matching PyTorch3D
     ``verts_normals_packed`` (reference use: models/model.py:271):
     scatter-add the unnormalized face normal to each incident vertex, then
-    normalize."""
+    normalize.  (Scatter-based; prefer :func:`vertex_normals_incidence` on
+    the hot path.)"""
     n_unnorm = face_normals(verts, faces, normalize=False)  # (F, 3)
     N = verts.shape[0]
     acc = jnp.zeros((N, 3), dtype=verts.dtype)
     for k in range(3):
         acc = acc.at[faces[:, k]].add(n_unnorm)
+    return acc / (jnp.linalg.norm(acc, axis=-1, keepdims=True) + 1e-12)
+
+
+def vertex_normals_incidence(
+    verts: jax.Array, faces: jax.Array, vf_incidence: jax.Array, vf_valid: jax.Array
+) -> jax.Array:
+    """Same result as :func:`vertex_normals` but gather-based: sum the
+    unnormalized face normals of each vertex's (static, padded) incident
+    faces — a (N, maxdeg) gather instead of three scatter-adds, which are
+    pathologically slow on TPU."""
+    n_unnorm = face_normals(verts, faces, normalize=False)  # (F, 3)
+    gathered = n_unnorm[vf_incidence] * vf_valid[..., None]  # (N, maxdeg, 3)
+    acc = jnp.sum(gathered, axis=1)
     return acc / (jnp.linalg.norm(acc, axis=-1, keepdims=True) + 1e-12)
 
 

@@ -63,11 +63,25 @@ def face_covariances(
     Returns:
       (F, 3, 3) covariances.
     """
-    from gomavatar_tpu.ops.transforms import so3_exp, mm
+    from gomavatar_tpu.ops.transforms import so3_exp
 
     tris = vertices[faces]  # (F, 3, 3)
     T = steiner_transform(tris, sigma)  # (F, 3, 3)
     R = so3_exp(so3_params)  # (F, 3, 3)
     RS = R * scale_params[..., None, :]  # R @ diag(s)
-    M = mm(T, RS)  # (F, 3, 3)
-    return mm(M, jnp.swapaxes(M, -1, -2))
+    # batched 3x3 matmuls expressed elementwise: tiny contractions lower
+    # poorly to the MXU, the VPU does them in two fused passes
+    M = _mm3(T, RS)
+    return _mm3(M, jnp.swapaxes(M, -1, -2))
+
+
+def _mm3(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Elementwise batched (..., 3, 3) @ (..., 3, 3)."""
+    rows = []
+    for i in range(3):
+        cols = [
+            A[..., i, 0] * B[..., 0, j] + A[..., i, 1] * B[..., 1, j] + A[..., i, 2] * B[..., 2, j]
+            for j in range(3)
+        ]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
