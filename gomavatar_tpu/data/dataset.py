@@ -163,8 +163,19 @@ class TrainDataset(_ArtifactsMixin):
         prefetch=False,
         split_for_pose=False,
         rng=None,
+        use_native=False,
     ):
+        """``use_native=True`` routes decode-to-tensor through the fused C++
+        pipeline (native/gom_host.cpp: one pass for undistort+resize+
+        composite, bilinear) instead of the reference-parity cv2 path
+        (undistort, composite, Lanczos resize as three passes)."""
         self._load_artifacts(dataset_path)
+        self.use_native = use_native
+        if use_native:
+            from gomavatar_tpu.data import native_loader
+
+            assert native_loader.available(), "native library failed to build"
+            self._native = native_loader
         self.framelist = _list_frames(self.image_dir)[::skip]
         if maxframes > 0:
             self.framelist = self.framelist[:maxframes]
@@ -246,8 +257,28 @@ class TrainDataset(_ArtifactsMixin):
         else:
             bgcolor = np.asarray(self.bgcolor, np.float32)
 
-        img, alpha, orig_W, orig_H = self._cache.get(frame_name) or self._load_raw(frame_name)
-        img, alpha = self._composite_resize(img.astype(np.float32), alpha, bgcolor)
+        if self.use_native:
+            img8 = _load_image(os.path.join(self.image_dir, frame_name + ".png"))
+            mask8 = _load_image(os.path.join(self.dataset_path, "masks", frame_name + ".png"))
+            if mask8.ndim == 3:
+                mask8 = mask8[..., 0]
+            orig_H, orig_W = img8.shape[:2]
+            cam = self.cameras[frame_name]
+            if self.target_size is not None:
+                out_hw = (self.target_size[1], self.target_size[0])
+            else:
+                out_hw = (
+                    int(orig_H * self.resize_img_scale[1]),
+                    int(orig_W * self.resize_img_scale[0]),
+                )
+            img, alpha = self._native.undistort_resize_composite(
+                img8, mask8, cam["intrinsics"][:3, :3], cam.get("distortions"),
+                bgcolor, out_hw,
+            )
+            alpha = alpha[..., None].repeat(3, -1)
+        else:
+            img, alpha, orig_W, orig_H = self._cache.get(frame_name) or self._load_raw(frame_name)
+            img, alpha = self._composite_resize(img.astype(np.float32), alpha, bgcolor)
         img = (img / 255.0).astype(np.float32)
 
         skel = self.query_dst_skeleton(frame_name)

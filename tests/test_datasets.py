@@ -82,3 +82,20 @@ def test_prefetcher(data_dir):
     items = list(Prefetcher(ds, order=[0, 1, 2, 3]))
     assert len(items) == 4
     assert items[2]["frame_name"] == "frame_000002"
+
+
+def test_train_dataset_native_path(data_dir):
+    from gomavatar_tpu.data import native_loader
+
+    if not native_loader.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ds_ref = TrainDataset(data_dir, bgcolor=[0, 0, 0])
+    ds_nat = TrainDataset(data_dir, bgcolor=[0, 0, 0], use_native=True)
+    a, b = ds_ref[0], ds_nat[0]
+    assert a["target_rgbs"].shape == b["target_rgbs"].shape
+    # same content modulo the resampling filter (Lanczos vs bilinear)
+    diff = np.abs(a["target_rgbs"] - b["target_rgbs"])
+    assert np.percentile(diff, 90) < 0.15
+    assert np.abs(a["target_masks"] - b["target_masks"]).mean() < 0.05
