@@ -232,38 +232,57 @@ def gom_forward(
     cov = face_covariances(verts_obs, faces, params["so3"], params["scale"], cfg.sigma)
     centroids = verts_obs[faces].mean(axis=1)
 
-    # 6. appearance + splat render (model.py:236-250); alpha is native here
-    # (no 3-channel chunking, cf. gaussian.py:77-94)
+    # 6.+7. appearance + splat render + vertex normals + mesh raster
+    # (model.py:236-250, 270-274); alpha is native here (no 3-channel
+    # chunking, cf. gaussian.py:77-94)
     colors = M.appearance_apply(params["appearance"])
     opacity = jnp.ones((cfg.num_faces,), jnp.float32)
-    albedo, mask = render_gaussians(
-        centroids,
-        cov,
-        colors,
-        opacity,
-        K,
-        E,
-        cfg.img_size,
-        implementation=cfg.splat_impl,
-        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-    )
-
-    # 7. vertex normals -> camera space -> mesh raster (model.py:270-274)
     normals = vertex_normals_incidence(
         verts_obs, faces, statics.vf_incidence, statics.vf_valid
     )
     normals_cam = mm(normals, E[:3, :3].T)
-    mesh_out = rasterize_mesh(
-        verts_obs,
-        normals_cam,
-        faces,
-        K,
-        E,
-        cfg.img_size,
-        soft_mask=train,
-        blur_sigma=cfg.normal_renderer_sigma,
-        max_tiles_per_face=cfg.max_tiles_per_face,
+
+    use_fused = (
+        not train
+        and cfg.splat_impl in ("auto", "pallas")
+        and jax.default_backend() not in ("cpu",)
     )
+    if use_fused:
+        # eval path: one binning + one Pallas sweep does both the splat
+        # blend and the z-buffer normal pass (ops/fused_render.py)
+        from gomavatar_tpu.ops.fused_render import render_frame_fused
+
+        albedo, mask, normal_img, normal_hard_mask = render_frame_fused(
+            centroids, cov, colors, opacity, verts_obs, normals_cam, faces,
+            K, E, cfg.img_size,
+            max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+        )
+        from gomavatar_tpu.ops.mesh_raster import MeshRasterOut
+
+        mesh_out = MeshRasterOut(normal=normal_img, mask=normal_hard_mask, soft_mask=None)
+    else:
+        albedo, mask = render_gaussians(
+            centroids,
+            cov,
+            colors,
+            opacity,
+            K,
+            E,
+            cfg.img_size,
+            implementation=cfg.splat_impl,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        )
+        mesh_out = rasterize_mesh(
+            verts_obs,
+            normals_cam,
+            faces,
+            K,
+            E,
+            cfg.img_size,
+            soft_mask=train,
+            blur_sigma=cfg.normal_renderer_sigma,
+            max_tiles_per_face=cfg.max_tiles_per_face,
+        )
 
     # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)
     if cfg.shadow is not None:
