@@ -14,3 +14,12 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("GOMAVATAR_FORCE_CPU"):
+    # The axon TPU plugin ignores JAX_PLATFORMS; the config API is the
+    # reliable override (used by subprocess-based CLI tests).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

@@ -573,13 +573,12 @@ EXCLUDE_KEYS = ("frame_name", "img_width", "img_height")
 
 
 def to_device(batch: dict) -> dict:
-    """numpy item -> jnp dict (reference: cpu_data_to_gpu,
-    utils/train_util.py:8-26)."""
+    """numpy item -> jnp dict with non-array keys dropped (reference:
+    cpu_data_to_gpu with exclude list, utils/train_util.py:8-26 +
+    train.py:34) — the jitted step takes arrays only."""
     import jax.numpy as jnp
 
-    return {
-        k: (v if k in EXCLUDE_KEYS else jnp.asarray(v)) for k, v in batch.items()
-    }
+    return {k: jnp.asarray(v) for k, v in batch.items() if k not in EXCLUDE_KEYS}
 
 
 class Prefetcher:

@@ -1,0 +1,114 @@
+"""End-to-end CLI smoke tests over the synthetic dataset: train a few
+iterations through the real driver, then evaluate from the checkpoint
+(SURVEY.md §4: eval protocols as integration tests)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from gomavatar_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = write_synthetic_dataset(str(root / "data"), n_frames=3, img_hw=(48, 48))
+    cfg = {
+        "exp_name": "cli_smoke",
+        "log_dir": str(root / "log"),
+        "random_bgcolor": False,
+        "bgcolor": [0.0, 0.0, 0.0],
+        "img_size": [48, 48],
+        "dataset": {
+            "train": {"dataset_path": data_dir},
+            "test_view": {"dataset_path": data_dir, "name": "snapshot", "skip": 1},
+            "test_freeview": {"dataset_path": data_dir, "src_type": "zju_mocap"},
+        },
+        "model": {
+            "img_size": [48, 48],
+            "canonical_geometry": {"deform_so3": True, "deform_scale": True},
+            "normal_renderer": {"name": "mesh"},
+            "shadow_module": {"name": "basic"},
+        },
+        "pose": {"lr": 0.001, "decay": 5, "iters": 6},
+        "train": {
+            "total_iters": 4,
+            "save_freq": 4,
+            "eval_freq": 1000,
+            "log_freq": 1,
+            "tb_freq": 1000,
+            "losses": {
+                "lpips": {"coeff": 0.0},
+                "laplacian": {"coeff_observation": 10.0},
+                "normal": {"coeff_mask": 1.0, "mask_dilate": True, "coeff_consist": 0.1},
+                "color_consist": {"coeff": 0.05},
+            },
+        },
+    }
+    cfg_path = str(root / "exp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return {"root": root, "cfg_path": cfg_path, "data_dir": data_dir}
+
+
+def run_cli(module, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GOMAVATAR_FORCE_CPU"] = "1"
+    return subprocess.run(
+        [sys.executable, "-m", module, *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def test_train_cli(workspace):
+    r = run_cli("gomavatar_tpu.cli.train", "--cfg", workspace["cfg_path"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = os.listdir(str(workspace["root"] / "log" / "cli_smoke" / "checkpoints"))
+    assert any(c.startswith("iter_") for c in ckpts)
+
+
+def test_eval_cli_view(workspace):
+    # depends on test_train_cli having produced a checkpoint
+    r = run_cli("gomavatar_tpu.cli.evaluate", "--cfg", workspace["cfg_path"], "--type", "view")
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(workspace["root"] / "log" / "cli_smoke" / "eval" / "view")
+    assert len(os.listdir(out)) == 3  # one PNG per frame
+
+
+def test_eval_cli_freeview(workspace):
+    r = run_cli(
+        "gomavatar_tpu.cli.evaluate", "--cfg", workspace["cfg_path"],
+        "--type", "freeview", "--n_frames", "2",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(workspace["root"] / "log" / "cli_smoke" / "eval" / "freeview")
+    assert len(os.listdir(out)) == 2
+
+
+def test_train_pose_cli(workspace):
+    r = run_cli(
+        "gomavatar_tpu.cli.train_pose", "--cfg", workspace["cfg_path"], "--max_frames", "1"
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(
+        str(workspace["root"] / "log" / "cli_smoke" / "checkpoints" / "pose.pkl")
+    )
+
+
+def test_animate_cli_synthetic(workspace):
+    out = str(workspace["root"] / "anim")
+    r = run_cli(
+        "gomavatar_tpu.cli.animate", "--synthetic", "2", "--n_frames", "2",
+        "--img", "32", "32", "--out", out,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(out)) == 2
