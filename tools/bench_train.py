@@ -1,0 +1,55 @@
+"""Training-step throughput benchmark on TPU.
+
+Measures the full optimizer step (forward with all losses, backward through
+both Pallas rasterizers, Adam) on the flagship model at 512x512 — with and
+without the LPIPS term (the VGG conv stack dominates when enabled).
+
+    python tools/bench_train.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _flagship
+    from gomavatar_tpu.optim import make_optimizer
+    from gomavatar_tpu.trainer import make_train_step
+    from gomavatar_tpu.models import lpips as lpips_lib
+
+    params, statics, gom_cfg, batch, cfg = _flagship()
+    tcfg = cfg["train"]
+    loss_cfg = tcfg["losses"]
+    loss_cfg["laplacian"]["coeff_observation"] = 10.0
+    loss_cfg["normal"]["coeff_mask"] = 1.0
+    loss_cfg["normal"]["mask_dilate"] = True
+    loss_cfg["normal"]["coeff_consist"] = 0.1
+    loss_cfg["color_consist"]["coeff"] = 0.05
+
+    tx = make_optimizer(tcfg, params)
+    opt_state = tx.init(params)
+
+    for use_lpips, label in [(False, "no-LPIPS"), (True, "with-LPIPS")]:
+        loss_cfg["lpips"]["coeff"] = 1.0 if use_lpips else 0.0
+        lp = lpips_lib.init_lpips()[0] if use_lpips else None
+        step = make_train_step(gom_cfg, loss_cfg, tx)
+        p, o, total, _ = step(params, opt_state, statics, lp, batch, jnp.float32(0.0))
+        jax.block_until_ready(p)
+        n = 10
+        t0 = time.perf_counter()
+        for i in range(n):
+            p, o, total, _ = step(p, o, statics, lp, batch, jnp.float32(i))
+        jax.block_until_ready(p)
+        dt = (time.perf_counter() - t0) / n
+        print(f"train step ({label}): {dt * 1000:.2f} ms -> {1 / dt:.1f} it/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
