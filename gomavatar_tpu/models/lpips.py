@@ -111,10 +111,11 @@ def _vgg_features(params, x, bf16: bool):
     dn = jax.lax.conv_dimension_numbers(h.shape, (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
     for c in _VGG_CFG:
         if c == "M":
-            h = jax.lax.reduce_window(
-                h, jnp.array(-jnp.inf, h.dtype), jax.lax.max,
-                (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
-            )
+            # 2x2/2 max-pool via reshape (reduce_window lacks a
+            # linearization rule here; floor-crop odd edges like torch)
+            _, Hh, Ww, Cc = h.shape
+            h = h[:, : Hh - Hh % 2, : Ww - Ww % 2, :]
+            h = h.reshape(1, (Hh // 2), 2, (Ww // 2), 2, Cc).max(axis=(2, 4))
             continue
         w = params["convs"][conv_i]["w"]
         b = params["convs"][conv_i]["b"]

@@ -185,7 +185,7 @@ def render_frame_fused(
     E: jax.Array,
     img_size: tuple[int, int],
     max_tiles_per_primitive: int = 16,
-    buffer_factor: int = 10,
+    buffer_factor: int = 4,
 ):
     """One-pass render: returns (albedo (H,W,3), alpha, normal (H,W,3), mask)."""
     W, H = img_size
@@ -195,12 +195,13 @@ def render_frame_fused(
     tris_z = z[faces]
     in_front = jnp.all(tris_z > 1e-5, axis=-1)
 
-    # union bbox: splat radius square U triangle bbox (+1 px guard)
+    # union bbox: splat radius square U triangle bbox (no guard needed:
+    # every covered pixel center lies inside the exact bbox)
     r = jnp.where(proj.valid, proj.radius, 0.0)
-    bx0 = jnp.minimum(proj.mean2d[:, 0] - r, jnp.min(tris_xy[..., 0], axis=1) - 1.0)
-    bx1 = jnp.maximum(proj.mean2d[:, 0] + r, jnp.max(tris_xy[..., 0], axis=1) + 1.0)
-    by0 = jnp.minimum(proj.mean2d[:, 1] - r, jnp.min(tris_xy[..., 1], axis=1) - 1.0)
-    by1 = jnp.maximum(proj.mean2d[:, 1] + r, jnp.max(tris_xy[..., 1], axis=1) + 1.0)
+    bx0 = jnp.minimum(proj.mean2d[:, 0] - r, jnp.min(tris_xy[..., 0], axis=1))
+    bx1 = jnp.maximum(proj.mean2d[:, 0] + r, jnp.max(tris_xy[..., 0], axis=1))
+    by0 = jnp.minimum(proj.mean2d[:, 1] - r, jnp.min(tris_xy[..., 1], axis=1))
+    by1 = jnp.maximum(proj.mean2d[:, 1] + r, jnp.max(tris_xy[..., 1], axis=1))
     any_valid = proj.valid | in_front
 
     bins = bin_bboxes(
