@@ -341,11 +341,11 @@ class ZJUTestDataset(_ArtifactsMixin):
         self.test_cameras = self._load_raw_cameras(exclude_view)
 
         framelist = _list_frames(self.image_dir)
-        fifth = len(framelist) // 5
+        fifth = len(framelist) // 5  # MonoHuman split (ref dataset/test.py:57-64)
         if test_type == "view":
-            framelist = framelist[:-fifth]
+            framelist = framelist[:-fifth] if fifth > 0 else framelist
         elif test_type == "pose":
-            framelist = framelist[-fifth:]
+            framelist = framelist[-fifth:] if fifth > 0 else []
         else:
             raise ValueError(test_type)
         self.framelist = framelist[::skip]

@@ -94,3 +94,63 @@ def write_synthetic_dataset(
             f,
         )
     return out_dir
+
+
+def write_synthetic_zju_raw(
+    out_dir: str,
+    preprocessed_dir: str,
+    n_views: int = 3,
+    img_hw: tuple[int, int] = (96, 96),
+):
+    """Create a miniature raw-ZJU-format capture (annots.npy cameras,
+    Camera_B*/ jpgs, mask/ + mask_cihp/ pngs) matching an existing synthetic
+    preprocessed dir, so ``ZJUTestDataset`` is testable end-to-end."""
+    import pickle
+
+    H, W = img_hw
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(preprocessed_dir, "mesh_infos.pkl"), "rb") as f:
+        mesh_infos = pickle.load(f)
+    frames = sorted(mesh_infos.keys())
+
+    focal = 2 * H * 0.9
+    Ks, Rs, Ts, Ds, ims = [], [], [], [], []
+    for v in range(n_views):
+        angle = 2 * np.pi * v / max(n_views, 1) * 0.1
+        R = np.array(
+            [[np.cos(angle), 0, np.sin(angle)], [0, 1, 0], [-np.sin(angle), 0, np.cos(angle)]]
+        )
+        Ks.append(np.array([[focal, 0, W], [0, focal, H], [0, 0, 1.0]]))
+        Rs.append(R)
+        Ts.append(np.array([[0.0], [0.0], [3000.0], [1.0]]))  # mm, annots convention
+        Ds.append(np.zeros((5, 1)))
+
+    for i, name in enumerate(frames):
+        row = {"ims": [f"Camera_B{v + 1}/{i:06d}.jpg" for v in range(n_views)]}
+        ims.append(row)
+        for v in range(n_views):
+            cam_dir = os.path.join(out_dir, f"Camera_B{v + 1}")
+            os.makedirs(cam_dir, exist_ok=True)
+            img = np.full((2 * H, 2 * W, 3), 32, np.uint8)
+            img[H // 2 : 3 * H // 2, W // 2 : 3 * W // 2] = 180
+            Image.fromarray(img).save(os.path.join(cam_dir, f"{i:06d}.jpg"))
+            for mdir in ("mask", "mask_cihp"):
+                md = os.path.join(out_dir, mdir, f"Camera_B{v + 1}")
+                os.makedirs(md, exist_ok=True)
+                m = np.zeros((2 * H, 2 * W), np.uint8)
+                m[H // 2 : 3 * H // 2, W // 2 : 3 * W // 2] = 255
+                Image.fromarray(m).save(os.path.join(md, f"{i:06d}.png"))
+
+    annots = {"cams": {"K": Ks, "R": Rs, "T": Ts, "D": Ds}, "ims": ims}
+    np.save(os.path.join(out_dir, "annots.npy"), annots)
+    return out_dir
+
+
+def write_synthetic_mdm_poses(path: str, n_frames: int = 5):
+    """Write an MDM-format motion file (thetas_ori (24, 3, T) +
+    root_translation (3, T)) for NewPoseDataset tests."""
+    rng = np.random.default_rng(0)
+    thetas = rng.normal(scale=0.1, size=(24, 3, n_frames))
+    root = rng.normal(scale=0.2, size=(3, n_frames))
+    np.save(path, {"thetas_ori": thetas, "root_translation": root})
+    return path

@@ -104,13 +104,19 @@ def normal_consistency_pairs(faces: np.ndarray) -> np.ndarray:
     return quads
 
 
-def vertex_face_incidence(faces: np.ndarray, num_vertices: int):
+def vertex_face_incidence(faces: np.ndarray, num_vertices: int, max_degree: int = 16):
     """Padded per-vertex incident-face table.
 
     Returns (incidence (N, maxdeg) int, valid (N, maxdeg) float): TPU
     scatter-adds are slow, so vertex normals are computed as a GATHER over
     this static table instead (see :func:`vertex_normals_incidence`).
     Padding entries index face 0 with weight 0.
+
+    ``max_degree`` caps the table width: a rare vertex with more incident
+    faces (degenerate fans; SMPL tops out around 10) sums only its first
+    ``max_degree`` face normals.  The cap bounds the gather cost, which is
+    proportional to N x maxdeg and would otherwise be set by the single
+    worst vertex.
     """
     faces = np.asarray(faces, dtype=np.int64)
     N = num_vertices
@@ -118,10 +124,11 @@ def vertex_face_incidence(faces: np.ndarray, num_vertices: int):
     for f_idx in range(len(faces)):
         for v in faces[f_idx]:
             lists[v].append(f_idx)
-    maxdeg = max(1, max(len(l) for l in lists))
+    maxdeg = min(max(1, max(len(l) for l in lists)), max_degree)
     inc = np.zeros((N, maxdeg), dtype=np.int64)
     valid = np.zeros((N, maxdeg), dtype=np.float32)
     for v, l in enumerate(lists):
+        l = l[:maxdeg]
         inc[v, : len(l)] = l
         valid[v, : len(l)] = 1.0
     return inc, valid

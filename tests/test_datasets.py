@@ -99,3 +99,38 @@ def test_train_dataset_native_path(data_dir):
     diff = np.abs(a["target_rgbs"] - b["target_rgbs"])
     assert np.percentile(diff, 90) < 0.15
     assert np.abs(a["target_masks"] - b["target_masks"]).mean() < 0.05
+
+
+def test_zju_test_dataset(data_dir, tmp_path):
+    from gomavatar_tpu.data.synthetic import write_synthetic_zju_raw
+    from gomavatar_tpu.data.dataset import ZJUTestDataset
+
+    raw = write_synthetic_zju_raw(str(tmp_path / "raw"), data_dir, n_views=3, img_hw=(48, 48))
+    ds = ZJUTestDataset(raw, data_dir, test_type="view", bgcolor=[0, 0, 0], skip=1, exclude_view=0)
+    # 4 frames -> monohuman view split keeps ceil(4 - 4//5) = 4; 2 non-training views
+    assert len(ds) == 4 * 2
+    item = ds[0]
+    assert item["target_rgbs"].shape[2] == 3
+    assert item["dst_Rs"].shape == (24, 3, 3)
+    assert item["target_masks"].max() > 0.5
+    # novel-pose split selects the last fifth (=0 frames for tiny set is
+    # degenerate; just check the view split items differ across views)
+    a, b = ds[0], ds[1]
+    assert a["frame_name"] != b["frame_name"]
+    assert np.abs(a["E"] - b["E"]).max() > 1e-6
+
+
+def test_newpose_dataset(data_dir, tmp_path):
+    from gomavatar_tpu.data.synthetic import write_synthetic_mdm_poses
+    from gomavatar_tpu.data.dataset import NewPoseDataset
+
+    pose_path = write_synthetic_mdm_poses(str(tmp_path / "mdm.npy"), n_frames=5)
+    ds = NewPoseDataset(data_dir, pose_path, img_size=(64, 64))
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["target_rgbs"].shape == (64, 64, 3)
+    assert item["dst_Rs"].shape == (24, 3, 3)
+    # root rotation moved into the camera: first pose row is zeroed
+    assert np.abs(item["dst_poses"][:3]).max() < 1e-6
+    # synthetic camera at radius 8 looks at the subject
+    assert np.isfinite(item["E"]).all()
