@@ -56,6 +56,70 @@ def evaluate_on(trainer: Trainer, dataset, tb, split: str, random_bgcolor: bool,
     return means
 
 
+def log_tb_visuals(trainer: Trainer, tb, batch):
+    """The reference's in-forward TB summaries (models/model.py:252-285):
+    rendered maps + canonical/observation point clouds with LBS coloring."""
+    rgb, mask, aux = trainer.forward(batch, train=True)
+    tb.summ_image("model/rgb", np.asarray(rgb))
+    tb.summ_image("model/albedo", np.asarray(aux["albedo"]))
+    tb.summ_image("model/mask", np.asarray(mask))
+    normal = np.asarray(aux["normal"])
+    tb.summ_image("model/normal", 1.0 - (normal + 1.0) * 0.5)
+    if aux.get("normal_mask") is not None:
+        tb.summ_image("model/normal_mask", np.asarray(aux["normal_mask"]))
+    if aux.get("shadow") is not None:
+        sh = np.asarray(aux["shadow"])
+        tb.summ_image("model/shadow", sh[..., 0] / max(float(sh.max()), 1e-6))
+    tb.summ_error_map("model/error", np.asarray(rgb), np.asarray(batch["target_rgbs"]))
+
+    verts_cnl = np.asarray(aux["verts_cnl"])
+    verts_obs = np.asarray(aux["verts_obs"])
+    faces = np.asarray(trainer.statics.faces)
+    colors = np.asarray(aux["colors"])
+    tb.summ_pointcloud("canonical/density", verts_cnl, faces=faces)
+    tb.summ_pointcloud("observation/density", verts_obs, faces=faces)
+    # per-face colors -> per-vertex for mesh display
+    vc = np.zeros_like(verts_cnl)
+    np.add.at(vc, faces[:, 0], colors)
+    np.add.at(vc, faces[:, 1], colors)
+    np.add.at(vc, faces[:, 2], colors)
+    cnt = np.zeros(len(verts_cnl))
+    np.add.at(cnt, faces.reshape(-1), 1.0)
+    vc = vc / np.maximum(cnt, 1.0)[:, None]
+    tb.summ_pointcloud("canonical/color", verts_cnl, colors=vc, faces=faces)
+    # LBS-weight coloring (models/model.py:264-268) via a simple palette
+    lbs = np.asarray(trainer.statics.lbs_weights)
+    palette = np.asarray(
+        [np.cos(np.arange(lbs.shape[1])), np.sin(np.arange(lbs.shape[1])),
+         np.linspace(0, 1, lbs.shape[1])]
+    ).T * 0.5 + 0.5
+    tb.summ_pointcloud("canonical/lbs", verts_cnl, colors=lbs @ palette, faces=faces)
+
+
+def evaluate_test_split(trainer: Trainer, cfg, tb):
+    """Periodic novel-view eval against the configured test split
+    (reference train.py:379-382); skipped gracefully if the data is absent."""
+    try:
+        d = cfg["dataset"]["test_view"]
+        if d.get("name", "zju-mocap") == "snapshot":
+            ds = TrainDataset(
+                d["dataset_path"], bgcolor=cfg["bgcolor"], skip=d.get("skip", 1),
+                target_size=cfg["img_size"],
+            )
+        else:
+            from gomavatar_tpu.data.dataset import ZJUTestDataset
+
+            ds = ZJUTestDataset(
+                d["raw_dataset_path"], d["dataset_path"], test_type="view",
+                bgcolor=cfg["bgcolor"], exclude_view=d.get("exclude_view", 0),
+                skip=d.get("skip", 30),
+            )
+    except (FileNotFoundError, KeyError, OSError) as e:
+        logging.info("skipping test-split eval (%s)", e)
+        return
+    evaluate_on(trainer, ds, tb, "test", cfg["random_bgcolor"], max_items=8)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
@@ -129,10 +193,13 @@ def main():
             for k, v in losses.items():
                 tb.summ_scalar(f"train/loss_{k}", float(v))
 
+            if it % tcfg["tb_freq"] == 0:
+                log_tb_visuals(trainer, tb, batch)
             if it % tcfg["save_freq"] == 0:
                 trainer.save(ckpt_dir)
             if it % tcfg["eval_freq"] == 0:
                 evaluate_on(trainer, dataset, tb, "test_on_train", cfg["random_bgcolor"], max_items=4)
+                evaluate_test_split(trainer, cfg, tb)
 
     trainer.save(ckpt_dir)
     logging.info("training done at iter %d", trainer.i_iter)
