@@ -258,22 +258,21 @@ class TrainDataset(_ArtifactsMixin):
             bgcolor = np.asarray(self.bgcolor, np.float32)
 
         if self.use_native:
-            img8 = _load_image(os.path.join(self.image_dir, frame_name + ".png"))
-            mask8 = _load_image(os.path.join(self.dataset_path, "masks", frame_name + ".png"))
-            if mask8.ndim == 3:
-                mask8 = mask8[..., 0]
-            orig_H, orig_W = img8.shape[:2]
+            img_path = os.path.join(self.image_dir, frame_name + ".png")
+            mask_path = os.path.join(self.dataset_path, "masks", frame_name + ".png")
             cam = self.cameras[frame_name]
             if self.target_size is not None:
                 out_hw = (self.target_size[1], self.target_size[0])
+                orig_H, orig_W = self._native.probe_image(img_path)
             else:
+                orig_H, orig_W = self._native.probe_image(img_path)
                 out_hw = (
                     int(orig_H * self.resize_img_scale[1]),
                     int(orig_W * self.resize_img_scale[0]),
                 )
-            img, alpha = self._native.undistort_resize_composite(
-                img8, mask8, cam["intrinsics"][:3, :3], cam.get("distortions"),
-                bgcolor, out_hw,
+            img, alpha = self._native.load_frame(
+                img_path, mask_path, cam["intrinsics"][:3, :3],
+                cam.get("distortions"), bgcolor, out_hw,
             )
             alpha = alpha[..., None].repeat(3, -1)
         else:

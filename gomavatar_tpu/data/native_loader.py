@@ -51,6 +51,18 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.load_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.load_frame.restype = ctypes.c_int
+    lib.probe_image.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)
+    ]
+    lib.probe_image.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -95,6 +107,47 @@ def undistort_resize_composite(
         f32p(bg), f32p(out_img), f32p(out_mask), outH, outW,
     )
     return out_img, out_mask
+
+
+def load_frame(
+    img_path: str,
+    mask_path: str,
+    K: np.ndarray,
+    D: np.ndarray | None,
+    bgcolor: np.ndarray,
+    out_hw: tuple[int, int],
+):
+    """Decode + undistort + resize + composite entirely in C++ (no GIL):
+    one call from PNG/JPEG paths to float tensors."""
+    lib = _load()
+    assert lib is not None
+    outH, outW = out_hw
+    K = np.ascontiguousarray(K, np.float64)
+    D = np.ascontiguousarray(D if D is not None else np.zeros(0), np.float64)
+    bg = np.ascontiguousarray(bgcolor, np.float32)
+    out_img = np.empty((outH, outW, 3), np.float32)
+    out_mask = np.empty((outH, outW), np.float32)
+    f64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    f32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.load_frame(
+        img_path.encode(), mask_path.encode(), f64p(K), f64p(D), len(D),
+        f32p(bg), f32p(out_img), f32p(out_mask), outH, outW,
+    )
+    if rc != 0:
+        raise IOError(f"native load_frame failed ({rc}) for {img_path}")
+    return out_img, out_mask
+
+
+def probe_image(path: str) -> tuple[int, int]:
+    """(H, W) of an image from its header (no full decode for PNG)."""
+    lib = _load()
+    assert lib is not None
+    H = ctypes.c_int()
+    W = ctypes.c_int()
+    rc = lib.probe_image(path.encode(), ctypes.byref(H), ctypes.byref(W))
+    if rc != 0:
+        raise IOError(f"probe_image failed ({rc}) for {path}")
+    return H.value, W.value
 
 
 def rodrigues(rvec: np.ndarray) -> np.ndarray:
