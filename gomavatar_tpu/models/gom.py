@@ -242,23 +242,34 @@ def gom_forward(
     )
     normals_cam = mm(normals, E[:3, :3].T)
 
+    # ONE union-bbox tile binning serves both rasterizers (the splats are
+    # pinned to the faces).  The same (soft-silhouette) margin is used in
+    # train and eval so their renders are bit-identical.
+    from gomavatar_tpu.ops.fused_render import frame_union_bins, render_frame_fused
+    from gomavatar_tpu.ops.mesh_raster import np_log_blur, MeshRasterOut
+
+    W, H = cfg.img_size
+    ndc_per_px = 2.0 / min(W, H)
+    blur_margin_px = (np_log_blur(cfg.normal_renderer_sigma) ** 0.5) / ndc_per_px + 1.0
+    shared = frame_union_bins(
+        centroids, cov, verts_obs, faces, K, E, cfg.img_size,
+        blur_margin_px=blur_margin_px,
+        max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+    )
+    bins = shared[4]
+
     use_fused = (
         not train
         and cfg.splat_impl in ("auto", "pallas")
         and jax.default_backend() not in ("cpu",)
     )
     if use_fused:
-        # eval path: one binning + one Pallas sweep does both the splat
-        # blend and the z-buffer normal pass (ops/fused_render.py)
-        from gomavatar_tpu.ops.fused_render import render_frame_fused
-
+        # eval path: one Pallas sweep does both the splat blend and the
+        # z-buffer normal pass (ops/fused_render.py)
         albedo, mask, normal_img, normal_hard_mask = render_frame_fused(
             centroids, cov, colors, opacity, verts_obs, normals_cam, faces,
-            K, E, cfg.img_size,
-            max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+            K, E, cfg.img_size, precomputed=shared,
         )
-        from gomavatar_tpu.ops.mesh_raster import MeshRasterOut
-
         mesh_out = MeshRasterOut(normal=normal_img, mask=normal_hard_mask, soft_mask=None)
     else:
         albedo, mask = render_gaussians(
@@ -271,6 +282,7 @@ def gom_forward(
             cfg.img_size,
             implementation=cfg.splat_impl,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            bins=bins,
         )
         mesh_out = rasterize_mesh(
             verts_obs,
@@ -282,6 +294,7 @@ def gom_forward(
             soft_mask=train,
             blur_sigma=cfg.normal_renderer_sigma,
             max_tiles_per_face=cfg.max_tiles_per_face,
+            bins=bins,
         )
 
     # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)

@@ -191,6 +191,48 @@ def _fused_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, ncmax
     )(tile_start, tile_count, entries, zeros3, zeros1, zeros4)
 
 
+def frame_union_bins(
+    centroids,
+    cov3d,
+    verts,
+    faces,
+    K,
+    E,
+    img_size,
+    blur_margin_px: float = 0.0,
+    max_tiles_per_primitive: int = 16,
+    buffer_factor: int = 4,
+):
+    """Shared per-frame binning: ONE union-bbox tile binning serving both
+    the splat blend and the mesh passes (gaussians are pinned to faces, so
+    both iterate the same primitives).  ``blur_margin_px`` widens the bbox
+    for the soft-silhouette blur radius; the same margin must be used by
+    every consumer in a step so train/eval renders stay bit-identical.
+
+    Returns (proj, tris_xy, tris_z, in_front, bins)."""
+    proj = project_gaussians(centroids, cov3d, K, E, img_size)
+    xy, z = project_mesh(verts, K, E)
+    tris_xy = xy[faces]
+    tris_z = z[faces]
+    in_front = jnp.all(tris_z > 1e-5, axis=-1)
+
+    r = jnp.where(proj.valid, proj.radius, 0.0)
+    m = blur_margin_px
+    bx0 = jnp.minimum(proj.mean2d[:, 0] - r, jnp.min(tris_xy[..., 0], axis=1) - m)
+    bx1 = jnp.maximum(proj.mean2d[:, 0] + r, jnp.max(tris_xy[..., 0], axis=1) + m)
+    by0 = jnp.minimum(proj.mean2d[:, 1] - r, jnp.min(tris_xy[..., 1], axis=1) - m)
+    by1 = jnp.maximum(proj.mean2d[:, 1] + r, jnp.max(tris_xy[..., 1], axis=1) + m)
+    any_valid = proj.valid | in_front
+
+    bins = bin_bboxes(
+        bx0, bx1, by0, by1,
+        proj.depth, any_valid, img_size,
+        max_tiles_per_primitive=max_tiles_per_primitive,
+        buffer_factor=buffer_factor,
+    )
+    return proj, tris_xy, tris_z, in_front, bins
+
+
 def render_frame_fused(
     centroids: jax.Array,  # (F, 3) splat means (face centroids)
     cov3d: jax.Array,  # (F, 3, 3)
@@ -204,30 +246,22 @@ def render_frame_fused(
     img_size: tuple[int, int],
     max_tiles_per_primitive: int = 16,
     buffer_factor: int = 4,
+    blur_margin_px: float = 0.0,
+    precomputed=None,
 ):
-    """One-pass render: returns (albedo (H,W,3), alpha, normal (H,W,3), mask)."""
+    """One-pass render: returns (albedo (H,W,3), alpha, normal (H,W,3), mask).
+
+    ``precomputed`` optionally supplies the output of
+    :func:`frame_union_bins` (shared with other passes of the same step)."""
     W, H = img_size
-    proj = project_gaussians(centroids, cov3d, K, E, img_size)
-    xy, z = project_mesh(verts, K, E)
-    tris_xy = xy[faces]
-    tris_z = z[faces]
-    in_front = jnp.all(tris_z > 1e-5, axis=-1)
-
-    # union bbox: splat radius square U triangle bbox (no guard needed:
-    # every covered pixel center lies inside the exact bbox)
-    r = jnp.where(proj.valid, proj.radius, 0.0)
-    bx0 = jnp.minimum(proj.mean2d[:, 0] - r, jnp.min(tris_xy[..., 0], axis=1))
-    bx1 = jnp.maximum(proj.mean2d[:, 0] + r, jnp.max(tris_xy[..., 0], axis=1))
-    by0 = jnp.minimum(proj.mean2d[:, 1] - r, jnp.min(tris_xy[..., 1], axis=1))
-    by1 = jnp.maximum(proj.mean2d[:, 1] + r, jnp.max(tris_xy[..., 1], axis=1))
-    any_valid = proj.valid | in_front
-
-    bins = bin_bboxes(
-        bx0, bx1, by0, by1,
-        proj.depth, any_valid, img_size,
-        max_tiles_per_primitive=max_tiles_per_primitive,
-        buffer_factor=buffer_factor,
-    )
+    if precomputed is None:
+        precomputed = frame_union_bins(
+            centroids, cov3d, verts, faces, K, E, img_size,
+            blur_margin_px=blur_margin_px,
+            max_tiles_per_primitive=max_tiles_per_primitive,
+            buffer_factor=buffer_factor,
+        )
+    proj, tris_xy, tris_z, in_front, bins = precomputed
 
     nsum = normals_cam[faces[:, 0]] + normals_cam[faces[:, 1]] + normals_cam[faces[:, 2]]
     per_face = jnp.concatenate(

@@ -91,6 +91,7 @@ def rasterize_mesh(
     buffer_factor: int = 8,
     max_chunks: int = 64,
     implementation: str = "auto",
+    bins=None,
 ) -> MeshRasterOut:
     """Rasterize the mesh.
 
@@ -119,17 +120,18 @@ def rasterize_mesh(
     blur_margin_px = (blur_radius_ndc2 ** 0.5) / ndc_per_px + 1.0 if soft_mask else 1.0
     depth = jnp.min(tris_z, axis=-1)
 
-    bins = bin_bboxes(
-        jnp.min(tris_xy[..., 0], axis=1) - blur_margin_px,
-        jnp.max(tris_xy[..., 0], axis=1) + blur_margin_px,
-        jnp.min(tris_xy[..., 1], axis=1) - blur_margin_px,
-        jnp.max(tris_xy[..., 1], axis=1) + blur_margin_px,
-        depth,
-        in_front,
-        img_size,
-        max_tiles_per_primitive=max_tiles_per_face,
-        buffer_factor=buffer_factor,
-    )
+    if bins is None:
+        bins = bin_bboxes(
+            jnp.min(tris_xy[..., 0], axis=1) - blur_margin_px,
+            jnp.max(tris_xy[..., 0], axis=1) + blur_margin_px,
+            jnp.min(tris_xy[..., 1], axis=1) - blur_margin_px,
+            jnp.max(tris_xy[..., 1], axis=1) + blur_margin_px,
+            depth,
+            in_front,
+            img_size,
+            max_tiles_per_primitive=max_tiles_per_face,
+            buffer_factor=buffer_factor,
+        )
 
     # per-face channels: 3x(xy) = 6, 3 z, 3 summed normal
     nsum = (

@@ -41,6 +41,7 @@ def render_gaussians(
     max_tiles_per_gaussian: int = 32,
     buffer_factor: int = 8,
     max_chunks: int = 64,
+    bins=None,
 ):
     """Render gaussians to an image.
 
@@ -62,15 +63,16 @@ def render_gaussians(
     if implementation == "reference":
         img, alpha = render_reference(proj, colors, jnp.where(proj.valid, opacity, 0.0), img_size)
     else:
-        bins = _binning.bin_gaussians(
-            proj.mean2d,
-            proj.radius,
-            proj.depth,
-            proj.valid,
-            img_size,
-            max_tiles_per_gaussian=max_tiles_per_gaussian,
-            buffer_factor=buffer_factor,
-        )
+        if bins is None:
+            bins = _binning.bin_gaussians(
+                proj.mean2d,
+                proj.radius,
+                proj.depth,
+                proj.valid,
+                img_size,
+                max_tiles_per_gaussian=max_tiles_per_gaussian,
+                buffer_factor=buffer_factor,
+            )
         # gather per-entry values (autodiff turns this into a segment-sum
         # of entry gradients back onto gaussians)
         eg = bins.entry_gauss
