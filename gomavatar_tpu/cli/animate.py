@@ -48,6 +48,56 @@ def _synthetic_scenes(n: int, img_size):
     return packs, infos
 
 
+def _mdm_items(infos, pose_path, n_frames, img_size):
+    """Per-frame batches driving all scenes with one MDM motion clip
+    (reference semantics: dataset/newpose.py — root rotation folded into the
+    camera, radius-8 synthetic view scaled to the body)."""
+    from gomavatar_tpu.ops.camera import apply_global_tfm_to_camera
+    from gomavatar_tpu.data.dataset import (
+        body_pose_to_body_RTs_np,
+        get_canonical_global_tfms_np,
+    )
+
+    data = dict(np.load(pose_path, allow_pickle=True).item())
+    thetas = np.asarray(data["thetas_ori"])  # (24, 3, T)
+    poses_all = np.transpose(thetas, (2, 0, 1)).copy()
+    Rh_all = poses_all[:, 0].copy()
+    Th_all = np.transpose(np.asarray(data["root_translation"]), (1, 0))
+    poses_all[:, 0] = 0.0
+    T_total = min(len(poses_all), n_frames)
+
+    W, H = img_size
+    focal = 1.1 * H
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
+    E0 = np.eye(4, dtype=np.float32)
+    E0[2, 3] = 2.6
+
+    per_frame = []
+    for t in range(T_total):
+        items = []
+        pose = poses_all[t].reshape(-1).astype(np.float32)
+        for info in infos:
+            E = apply_global_tfm_to_camera(
+                E0, Rh_all[t], Th_all[0] - info["canonical_joints"][0]
+            ).astype(np.float32)
+            Rs, Ts = body_pose_to_body_RTs_np(pose, info["canonical_joints"])
+            items.append(
+                {
+                    "K": K,
+                    "E": E,
+                    "cnl_gtfms": get_canonical_global_tfms_np(info["canonical_joints"]),
+                    "dst_Rs": Rs,
+                    "dst_Ts": Ts,
+                    "dst_posevec": pose[3:] + 1e-2,
+                    "bgcolor": np.zeros(3, np.float32),
+                    "target_rgbs": np.zeros((H, W, 3), np.float32),
+                    "target_masks": np.zeros((H, W), np.float32),
+                }
+            )
+        per_frame.append(items)
+    return per_frame
+
+
 def _orbit_items(infos, frame_idx, n_frames, img_size):
     from gomavatar_tpu.models.smpl import synthetic_camera
     from gomavatar_tpu.ops.camera import rotate_camera_by_frame_idx
@@ -87,7 +137,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfgs", nargs="*", default=None, help="per-scene experiment configs")
     ap.add_argument("--synthetic", type=int, default=0, help="render N synthetic avatars instead")
-    ap.add_argument("--type", default="freeview", choices=["freeview"])
+    ap.add_argument("--type", default="freeview", choices=["freeview", "mdm"])
+    ap.add_argument("--pose_path", default=None, help="MDM motion npy (--type mdm); synthesized if omitted")
     ap.add_argument("--n_frames", type=int, default=30)
     ap.add_argument("--img", type=int, nargs=2, default=[256, 256])
     ap.add_argument("--out", default="log/animate")
@@ -122,7 +173,16 @@ def main():
     render = make_multi_scene_render(mesh, gom_cfg)
 
     os.makedirs(args.out, exist_ok=True)
-    frames = _orbit_items(infos, 0, args.n_frames, img_size)
+    if args.type == "mdm":
+        pose_path = args.pose_path
+        if pose_path is None:
+            from gomavatar_tpu.data.synthetic import write_synthetic_mdm_poses
+
+            pose_path = os.path.join(args.out, "_demo_motion.npy")
+            write_synthetic_mdm_poses(pose_path, n_frames=args.n_frames)
+        frames = _mdm_items(infos, pose_path, args.n_frames, img_size)
+    else:
+        frames = _orbit_items(infos, 0, args.n_frames, img_size)
     for t, items in enumerate(frames):
         batch_s = stack_batches(items)
         rgb, mask = render(params_s, statics_s, batch_s, jnp.float32(1e7))

@@ -112,3 +112,13 @@ def test_animate_cli_synthetic(workspace):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert len(os.listdir(out)) == 2
+
+
+def test_animate_cli_mdm(workspace):
+    out = str(workspace["root"] / "anim_mdm")
+    r = run_cli(
+        "gomavatar_tpu.cli.animate", "--synthetic", "2", "--type", "mdm",
+        "--n_frames", "2", "--img", "32", "32", "--out", out,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len([f for f in os.listdir(out) if f.startswith("frame_")]) == 2
