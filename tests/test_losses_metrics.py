@@ -88,3 +88,48 @@ def test_lpips_basic_properties(rng):
     g = jax.grad(lambda x: lpips(params, x, b, bf16=False))(a)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_lpips_torch_head_conversion(tmp_path):
+    """Conversion path for the reference's LPIPS linear-head checkpoint
+    format (keys lin{i}.model.1.weight of shape (1, C, 1, 1))."""
+    from gomavatar_tpu.models.lpips import load_torch_heads, init_lpips, _TAP_CHANNELS
+
+    sd = {
+        f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+        for i, c in enumerate(_TAP_CHANNELS)
+    }
+    path = str(tmp_path / "heads.pth")
+    torch.save(sd, path)
+    heads = load_torch_heads(path)
+    assert len(heads) == 5
+    for h, c in zip(heads, _TAP_CHANNELS):
+        assert h.shape == (c,)
+        assert (h >= 0).all()
+    params, _ = init_lpips(heads=heads)
+    a = jnp.zeros((16, 16, 3))
+    assert float(lpips(params, a, a, bf16=False)) < 1e-6
+
+
+def test_lpips_vgg16_backbone_conversion(tmp_path):
+    """Conversion of a torchvision-format VGG16 checkpoint (features.N.*)."""
+    from gomavatar_tpu.models.lpips import load_torch_vgg16, lpips as lpips_fn, _VGG_CFG
+
+    sd = {}
+    idx = 0
+    c_in = 3
+    for c in _VGG_CFG:
+        if c == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = torch.randn(c, c_in, 3, 3) * 0.05
+        sd[f"features.{idx}.bias"] = torch.zeros(c)
+        c_in = c
+        idx += 2
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+    params, calibrated = load_torch_vgg16(path)
+    assert not calibrated  # no heads supplied
+    a = jnp.asarray(np.random.default_rng(0).random((32, 32, 3)) * 2 - 1, jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).random((32, 32, 3)) * 2 - 1, jnp.float32)
+    assert float(lpips_fn(params, a, b, bf16=False)) > 0.0
