@@ -125,6 +125,11 @@ def main():
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max_iters", type=int, default=None, help="override total_iters")
+    ap.add_argument(
+        "--data_parallel", type=int, default=1,
+        help="frames per optimizer step, sharded over that many devices "
+        "(grad psum over the mesh; beyond-reference capability)",
+    )
     args = ap.parse_args()
 
     cfg = make_cfg(args.cfg)
@@ -159,7 +164,10 @@ def main():
                 "published LPIPS numbers."
             )
 
-    trainer = Trainer(cfg, dataset.get_canonical_info(), lpips_params=lpips_params)
+    trainer = Trainer(
+        cfg, dataset.get_canonical_info(), lpips_params=lpips_params,
+        data_parallel=args.data_parallel,
+    )
     if args.resume:
         trainer.resume(ckpt_dir)
 
@@ -171,13 +179,24 @@ def main():
 
     rng = np.random.default_rng(0)
     t_last = time.perf_counter()
+    dp = max(1, args.data_parallel)
     while trainer.i_iter < total_iters:
         order = rng.permutation(len(dataset))
+        pending = []
         for item in Prefetcher(dataset, order=order):
             if trainer.i_iter >= total_iters:
                 break
-            batch = to_device(item)
-            total, losses = trainer.step(batch)
+            if dp > 1:
+                pending.append(item)
+                if len(pending) < dp:
+                    continue
+                batch = pending
+                pending = []
+                total, losses = trainer.step(batch)
+                batch = to_device(batch[0])  # representative frame for TB visuals
+            else:
+                batch = to_device(item)
+                total, losses = trainer.step(batch)
             it = trainer.i_iter
             tb.set_step(it)
 

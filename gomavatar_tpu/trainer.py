@@ -74,14 +74,23 @@ def make_train_step(gom_cfg: GoMConfig, loss_cfg: dict, tx: optax.GradientTransf
 
 
 class Trainer:
-    """Owns params/statics/optimizer across subdivision phases."""
+    """Owns params/statics/optimizer across subdivision phases.
 
-    def __init__(self, cfg, canonical_info: dict, lpips_params=None, seed: int = 0):
+    ``data_parallel > 1`` trains on that many frames per optimizer step,
+    sharded over a device mesh with gradient psum (a capability the
+    reference lacks — SURVEY.md §2.F); ``step`` then expects a LIST of
+    ``data_parallel`` batch dicts."""
+
+    def __init__(
+        self, cfg, canonical_info: dict, lpips_params=None, seed: int = 0,
+        data_parallel: int = 1,
+    ):
         self.cfg = cfg
         self.loss_cfg = cfg["train"]["losses"]
         self.lpips_params = lpips_params
         self.subdivide_iters = sorted(cfg["model"].get("subdivide_iters", []))
         self.phase = 0
+        self.data_parallel = int(data_parallel)
 
         key = jax.random.PRNGKey(seed)
         self.params, self.statics, self.gom_cfg = init_gom(key, cfg["model"], canonical_info)
@@ -93,7 +102,18 @@ class Trainer:
     def _rebuild_optimizer(self):
         self.tx = make_optimizer(self.cfg["train"], self.params)
         self.opt_state = self.tx.init(self.params)
-        self._step_fn = make_train_step(self.gom_cfg, self.loss_cfg, self.tx)
+        if self.data_parallel > 1:
+            from gomavatar_tpu.parallel import make_mesh, make_data_parallel_train_step
+
+            assert len(jax.devices()) >= self.data_parallel, (
+                f"data_parallel={self.data_parallel} needs that many devices"
+            )
+            mesh = make_mesh(self.data_parallel)
+            self._step_fn = make_data_parallel_train_step(
+                mesh, self.gom_cfg, self.loss_cfg, self.tx
+            )
+        else:
+            self._step_fn = make_train_step(self.gom_cfg, self.loss_cfg, self.tx)
 
     def _subdivide(self):
         log.info(
@@ -118,8 +138,15 @@ class Trainer:
 
     # -- stepping ------------------------------------------------------------
 
-    def step(self, batch: dict):
+    def step(self, batch):
+        """One optimizer step.  ``batch``: a dict (data_parallel == 1) or a
+        list of ``data_parallel`` dicts (sharded over the mesh)."""
         self.maybe_subdivide()
+        if self.data_parallel > 1:
+            from gomavatar_tpu.parallel import stack_batches
+
+            assert isinstance(batch, (list, tuple)) and len(batch) == self.data_parallel
+            batch = stack_batches(list(batch))
         self.params, self.opt_state, total, losses = self._step_fn(
             self.params,
             self.opt_state,

@@ -59,6 +59,9 @@ def run_cli(module, *args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["GOMAVATAR_FORCE_CPU"] = "1"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     return subprocess.run(
         [sys.executable, "-m", module, *args],
         capture_output=True,
@@ -122,3 +125,11 @@ def test_animate_cli_mdm(workspace):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert len([f for f in os.listdir(out) if f.startswith("frame_")]) == 2
+
+
+def test_train_cli_data_parallel(workspace):
+    r = run_cli(
+        "gomavatar_tpu.cli.train", "--cfg", workspace["cfg_path"],
+        "--data_parallel", "2", "--max_iters", "2",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
