@@ -72,12 +72,10 @@ def _mesh_terms(chunk, px, py):
 
 def _fused_kernel(
     start_ref, count_ref, entries_hbm,
-    color_zero, alpha_zero, hard_zero,
     color_out, alpha_out, hard_out,
     chunk_vmem, sem,
     *, num_tiles_x: int, ncmax: int,
 ):
-    del color_zero, alpha_zero, hard_zero  # aliased into the outputs
     t = pl.program_id(0)
     start = start_ref[t]
     nchunks = jnp.minimum(count_ref[t] // CHUNK, ncmax)
@@ -132,24 +130,24 @@ def _fused_kernel(
         best_z = jnp.minimum(best_z, chunk_min)
         return log_T, color_acc, alpha_acc, best_z, best_n
 
-    # outputs are pre-zeroed via input_output_aliases, so empty tiles
-    # (the majority at typical body coverage) skip both the loop AND the
-    # output writes — per-program cost drops to grid overhead only.
-    @pl.when(nchunks > 0)
-    def _():
-        init = (
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((3, P), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.full((P, 1), _BIG, jnp.float32),
-            jnp.zeros((3, P), jnp.float32),
-        )
-        _, color_acc, alpha_acc, best_z, best_n = jax.lax.fori_loop(0, nchunks, body, init)
+    # NOTE: outputs must be written unconditionally — Pallas output windows
+    # are undefined until stored, and input_output_aliases is a buffer-
+    # donation contract, NOT a data-init guarantee (skipping writes on empty
+    # tiles flushes stale window contents).  The fori_loop itself already
+    # costs nothing at nchunks == 0.
+    init = (
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.zeros((3, P), jnp.float32),
+        jnp.zeros((P, 1), jnp.float32),
+        jnp.full((P, 1), _BIG, jnp.float32),
+        jnp.zeros((3, P), jnp.float32),
+    )
+    _, color_acc, alpha_acc, best_z, best_n = jax.lax.fori_loop(0, nchunks, body, init)
 
-        color_out[0] = color_acc
-        alpha_out[0] = alpha_acc.reshape(1, P)
-        hit = (best_z < _BIG).astype(jnp.float32).reshape(1, P)
-        hard_out[0] = jnp.concatenate([best_n, hit], axis=0)
+    color_out[0] = color_acc
+    alpha_out[0] = alpha_acc.reshape(1, P)
+    hit = (best_z < _BIG).astype(jnp.float32).reshape(1, P)
+    hard_out[0] = jnp.concatenate([best_n, hit], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles_x", "num_tiles_y", "ncmax"))
@@ -158,12 +156,7 @@ def _fused_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, ncmax
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec((1, 3, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -174,9 +167,6 @@ def _fused_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, ncmax
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    zeros3 = jnp.zeros((T, 3, P), jnp.float32)
-    zeros1 = jnp.zeros((T, 1, P), jnp.float32)
-    zeros4 = jnp.zeros((T, 4, P), jnp.float32)
     return pl.pallas_call(
         functools.partial(_fused_kernel, num_tiles_x=num_tiles_x, ncmax=ncmax),
         grid_spec=grid_spec,
@@ -185,10 +175,7 @@ def _fused_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, ncmax
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 4, P), jnp.float32),
         ],
-        # indices count the scalar-prefetch args too (0: tile_start,
-        # 1: tile_count, 2: entries, 3-5: the zero-init buffers)
-        input_output_aliases={3: 0, 4: 1, 5: 2},
-    )(tile_start, tile_count, entries, zeros3, zeros1, zeros4)
+    )(tile_start, tile_count, entries)
 
 
 def frame_union_bins(
