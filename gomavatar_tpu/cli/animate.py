@@ -133,6 +133,25 @@ def _orbit_items(infos, frame_idx, n_frames, img_size):
     return per_frame
 
 
+def check_homogeneous_scenes(packs):
+    """All scenes share ONE compiled program, so their static shapes must
+    match (same subdivision phase / face count).  Fail with a clear message
+    instead of an opaque tree_map stack error."""
+    gom_cfg = packs[0][2]
+    mismatched = [
+        (i, p[2].num_faces) for i, p in enumerate(packs)
+        if p[2].num_faces != gom_cfg.num_faces
+    ]
+    if mismatched:
+        details = ", ".join(f"scene {i}: {f} faces" for i, f in mismatched)
+        raise SystemExit(
+            f"multi-scene animate needs all scenes at the SAME subdivision "
+            f"phase: scene 0 has {gom_cfg.num_faces} faces but {details}. "
+            f"Re-train or pick checkpoints at matching phases."
+        )
+    return gom_cfg
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfgs", nargs="*", default=None, help="per-scene experiment configs")
@@ -163,7 +182,7 @@ def main():
             infos.append(ds.get_canonical_info())
 
     n = len(packs)
-    gom_cfg = packs[0][2]
+    gom_cfg = check_homogeneous_scenes(packs)
     params_s = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[p[0] for p in packs])
     statics_s = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[p[1] for p in packs])
 

@@ -141,6 +141,16 @@ def main():
 
     tcfg = cfg["train"]
     dcfg = cfg["dataset"]["train"]
+    use_native = bool(dcfg.get("use_native", False))
+    if use_native:
+        from gomavatar_tpu.data import native_loader
+
+        if not native_loader.available():
+            logging.warning(
+                "dataset.train.use_native requested but the native library "
+                "is unavailable; falling back to the cv2 path"
+            )
+            use_native = False
     dataset = TrainDataset(
         dcfg["dataset_path"],
         maxframes=dcfg["maxframes"],
@@ -150,6 +160,7 @@ def main():
         crop_size=dcfg["crop_size"],
         prefetch=dcfg["prefetch"],
         split_for_pose=dcfg["split_for_pose"],
+        use_native=use_native,
     )
     logging.info("train frames: %d", len(dataset))
 

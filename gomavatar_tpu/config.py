@@ -80,6 +80,10 @@ DEFAULTS: dict = {
             "split_for_pose": False,
             "crop_size": [-1, -1],
             "prefetch": False,
+            # route host decode through the fused C++ pipeline
+            # (native/gom_host.cpp); falls back to cv2 if the library
+            # is unavailable
+            "use_native": False,
         },
         "test_view": {
             "name": "zju-mocap",

@@ -332,10 +332,12 @@ class ZJUTestDataset(_ArtifactsMixin):
         bgcolor=None,
         exclude_view=0,
         skip=30,
+        rng=None,
     ):
         self._load_artifacts(dataset_path)
         self.raw_dataset_path = raw_dataset_path
         self.bgcolor = bgcolor
+        self.rng = rng or np.random.default_rng()
         self.resize_img_scale = 0.5
         self.test_cameras = self._load_raw_cameras(exclude_view)
 
@@ -403,7 +405,7 @@ class ZJUTestDataset(_ArtifactsMixin):
         frame_id = int(frame_name.split("_")[1])
 
         if self.bgcolor is None:
-            bgcolor = (np.random.rand(3) * 255.0).astype(np.float32)
+            bgcolor = (self.rng.random(3) * 255.0).astype(np.float32)
         else:
             bgcolor = np.asarray(self.bgcolor, np.float32)
         img, mask = self._load_view_image(view_id, frame_id, bgcolor)
@@ -455,6 +457,9 @@ class FreeviewDataset(_ArtifactsMixin):
         self.src_type = src_type
         self.target_size = target_size
         self.resize_img_scale = (0.5, 0.5)
+        # probe the training image shape ONCE (items only need H, W)
+        img = _load_image(os.path.join(self.image_dir, self.train_frame_name + ".png"))
+        self.train_img_shape = img.shape[:2]
 
     def __len__(self):
         return self.total_frames
@@ -478,17 +483,16 @@ class FreeviewDataset(_ArtifactsMixin):
             **self.ROT_CAM_PARAMS[self.src_type],
         )
         K = self.train_camera["intrinsics"][:3, :3].copy()
+        img_h, img_w = self.train_img_shape
         if self.target_size is not None:
             # scale K from the original image size to target
-            img = _load_image(os.path.join(self.image_dir, self.train_frame_name + ".png"))
-            K[:1] *= self.target_size[0] / img.shape[1]
-            K[1:2] *= self.target_size[1] / img.shape[0]
+            K[:1] *= self.target_size[0] / img_w
+            K[1:2] *= self.target_size[1] / img_h
             H, W = self.target_size[1], self.target_size[0]
         else:
             K[:2] *= self.resize_img_scale[0]
-            img = _load_image(os.path.join(self.image_dir, self.train_frame_name + ".png"))
-            H = int(img.shape[0] * self.resize_img_scale[1])
-            W = int(img.shape[1] * self.resize_img_scale[0])
+            H = int(img_h * self.resize_img_scale[1])
+            W = int(img_w * self.resize_img_scale[0])
 
         out = {
             "frame_name": f"{self.train_frame_name}_v{idx:04d}",
@@ -580,8 +584,19 @@ def to_device(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items() if k not in EXCLUDE_KEYS}
 
 
+class _PrefetchError:
+    """Sentinel carrying a worker exception to the consumer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
-    """Background-thread item loader: overlap host decode with device step."""
+    """Background-thread item loader: overlap host decode with device step.
+
+    Worker exceptions are propagated to the consuming thread (re-raised from
+    ``__iter__``) instead of silently killing the worker and leaving the
+    consumer blocked on an empty queue forever."""
 
     def __init__(self, dataset, order=None, depth: int = 2):
         self.dataset = dataset
@@ -591,8 +606,12 @@ class Prefetcher:
         self.thread.start()
 
     def _work(self):
-        for i in self.order:
-            self.q.put(self.dataset[i])
+        try:
+            for i in self.order:
+                self.q.put(self.dataset[i])
+        except BaseException as exc:  # noqa: BLE001 - forwarded to consumer
+            self.q.put(_PrefetchError(exc))
+            return
         self.q.put(None)
 
     def __iter__(self):
@@ -600,4 +619,6 @@ class Prefetcher:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, _PrefetchError):
+                raise RuntimeError("Prefetcher worker failed") from item.exc
             yield item

@@ -4,9 +4,9 @@
     numpy-style MSE/PSNR, skimage-0.18 SSIM (data_range=2 float quirk),
     VGG-LPIPS x1000;
   * ``EvaluatorSnapshot`` — Anim-NeRF protocol (eval.py:146-180):
-    torchmetrics PSNR/SSIM (data_range=1) and alex-LPIPS (we use the same
-    VGG trunk — LPIPS is flagged uncalibrated without pretrained weights
-    either way, see models/lpips.py).
+    torchmetrics PSNR/SSIM (data_range=1) and alex-LPIPS (AlexNet trunk,
+    eval.py:155; flagged uncalibrated without a converted pretrained
+    checkpoint — see models/lpips.py for the offline conversion procedure).
 
 Both quantize through uint8 before metrics, exactly like the reference
 (to_8b_image round-trip, train.py:82-85), and dump per-frame lists to
@@ -73,7 +73,13 @@ class Evaluator(_EvaluatorBase):
 
 
 class EvaluatorSnapshot(_EvaluatorBase):
-    """PeopleSnapshot / Anim-NeRF protocol."""
+    """PeopleSnapshot / Anim-NeRF protocol: alex-LPIPS per the reference
+    (torchmetrics ``net_type="alex"``, eval.py:155)."""
+
+    def __init__(self, lpips_params=None, lpips_calibrated=False):
+        if lpips_params is None:
+            lpips_params, lpips_calibrated = lpips_lib.init_lpips_alex()
+        super().__init__(lpips_params, lpips_calibrated)
 
     def evaluate(self, rgb_pred: np.ndarray, rgb_gt: np.ndarray):
         pred = to_8b_image(rgb_pred) / 255.0

@@ -317,6 +317,9 @@ def gom_forward(
             "normal": mesh_out.normal,
             "normal_mask": mesh_out.soft_mask,
             "shadow": shading,
+            # overflow counters for the static binning budgets — all-zero
+            # means exact parity with the CUDA rasterizer's dynamic binning
+            "binning": bins.telemetry,
         }
     return rgb, mask, aux
 

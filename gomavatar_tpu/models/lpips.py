@@ -1,9 +1,15 @@
-"""LPIPS perceptual metric/loss in pure JAX (VGG16 trunk + linear heads).
+"""LPIPS perceptual metric/loss in pure JAX (VGG16 or AlexNet trunk + linear
+heads).
 
 TPU-native port of the reference's vendored LPIPS (utils/lpips/lpips.py:23-123
-+ pretrained_networks.py): scaling layer -> VGG16 relu{1_2,2_2,3_3,4_3,5_3}
-features -> channel-unit-normalize -> 1x1 linear heads -> spatial mean ->
-sum over layers.
++ pretrained_networks.py): scaling layer -> trunk relu features ->
+channel-unit-normalize -> 1x1 linear heads -> spatial mean -> sum over
+layers.  Two trunks:
+
+  * VGG16 (relu{1_2,2_2,3_3,4_3,5_3}) — the training loss and the ZJU
+    protocol metric (train.py:299-303, eval.py:93);
+  * AlexNet (relu1..5, pretrained_networks.py:56-92) — the PeopleSnapshot
+    protocol metric (torchmetrics ``net_type="alex"``, eval.py:155).
 
 Weights:
   * the 5 linear heads load from the reference's ``vgg.pth`` data file
@@ -18,6 +24,22 @@ Weights:
 
 Convs run in bfloat16 on the MXU by default (the dominant FLOPs of the
 training step); set ``bf16=False`` for f32.
+
+Offline calibration procedure (run once on any machine WITH egress, then
+copy the converted arrays here):
+
+  1. ``pip install torchvision lpips`` there;
+  2. VGG trunk:   ``torch.save(torchvision.models.vgg16(weights='DEFAULT').state_dict(), 'vgg16.pth')``
+     Alex trunk:  ``torch.save(torchvision.models.alexnet(weights='DEFAULT').state_dict(), 'alexnet.pth')``
+     Heads: the reference ships ``utils/lpips/weights/v0.1/vgg.pth``; the
+     alex heads come from the lpips package (``lpips/weights/v0.1/alex.pth``);
+  3. here: ``params, calibrated = load_torch_vgg16('vgg16.pth', 'vgg.pth')``
+     or ``load_torch_alexnet('alexnet.pth', 'alex.pth')`` — both return
+     ``calibrated=True`` and plug into the loss/evaluators unchanged.
+
+The conversion math (layout transpose, padding, pooling, taps) is
+golden-tested against torch forwards in tests/test_losses_metrics.py, so a
+converted checkpoint is bit-faithful without further validation.
 """
 
 from __future__ import annotations
@@ -34,6 +56,18 @@ _TAP_CHANNELS = [64, 128, 256, 512, 512]
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# AlexNet trunk (torchvision alexnet.features, LPIPS slices at
+# pretrained_networks.py:56-92): (out_c, kernel, stride, pad, pool_before)
+# where pool_before = a 3x3/2 max-pool precedes the conv.
+_ALEX_CONVS = [
+    (64, 11, 4, 2, False),
+    (192, 5, 1, 2, True),
+    (384, 3, 1, 1, True),
+    (256, 3, 1, 1, False),
+    (256, 3, 1, 1, False),
+]
+_ALEX_TAP_CHANNELS = [64, 192, 384, 256, 256]
 
 
 def init_lpips(key: jax.Array | None = None, heads: list[np.ndarray] | None = None):
@@ -58,7 +92,48 @@ def init_lpips(key: jax.Array | None = None, heads: list[np.ndarray] | None = No
     else:
         head_ws = [jnp.asarray(h.reshape(-1, 1), jnp.float32) for h in heads]
         calibrated = False  # heads alone don't calibrate a random trunk
-    return {"convs": convs, "heads": head_ws}, calibrated
+    return {"net": "vgg", "convs": convs, "heads": head_ws}, calibrated
+
+
+def init_lpips_alex(key: jax.Array | None = None, heads: list[np.ndarray] | None = None):
+    """Random-backbone AlexNet-LPIPS fallback (PeopleSnapshot protocol,
+    eval.py:155).  Like :func:`init_lpips`, values are NOT comparable to
+    published LPIPS numbers without a converted pretrained checkpoint."""
+    if key is None:
+        key = jax.random.PRNGKey(4321)
+    convs = []
+    c_in = 3
+    k = key
+    for c, ksz, _, _, _ in _ALEX_CONVS:
+        k, sub = jax.random.split(k)
+        fan_in = c_in * ksz * ksz
+        w = jax.random.normal(sub, (ksz, ksz, c_in, c), jnp.float32) * np.sqrt(2.0 / fan_in)
+        convs.append({"w": w, "b": jnp.zeros((c,), jnp.float32)})
+        c_in = c
+    if heads is None:
+        head_ws = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _ALEX_TAP_CHANNELS]
+    else:
+        head_ws = [jnp.asarray(h.reshape(-1, 1), jnp.float32) for h in heads]
+    return {"net": "alex", "convs": convs, "heads": head_ws}, False
+
+
+def load_torch_alexnet(path: str, heads_path: str | None = None):
+    """Convert a torchvision AlexNet checkpoint (``alexnet-*.pth``; conv
+    weights at ``features.{0,3,6,8,10}``) (+ optional LPIPS ``alex.pth``
+    heads, keys ``lin{i}.model.1.weight``).  Returns (params, calibrated)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    convs = []
+    for idx in (0, 3, 6, 8, 10):
+        w = sd[f"features.{idx}.weight"].numpy()  # (out, in, k, k)
+        b = sd[f"features.{idx}.bias"].numpy()
+        convs.append({"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)})
+    if heads_path is not None:
+        heads = [jnp.asarray(h.reshape(-1, 1)) for h in load_torch_heads(heads_path)]
+    else:
+        heads = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _ALEX_TAP_CHANNELS]
+    return {"net": "alex", "convs": convs, "heads": heads}, heads_path is not None
 
 
 def load_torch_heads(path: str) -> list[np.ndarray]:
@@ -97,7 +172,7 @@ def load_torch_vgg16(path: str, heads_path: str | None = None):
         heads = [jnp.asarray(h.reshape(-1, 1)) for h in load_torch_heads(heads_path)]
     else:
         heads = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _TAP_CHANNELS]
-    return {"convs": convs, "heads": heads}, heads_path is not None
+    return {"net": "vgg", "convs": convs, "heads": heads}, heads_path is not None
 
 
 def _vgg_features(params, x, bf16: bool):
@@ -130,12 +205,42 @@ def _vgg_features(params, x, bf16: bool):
     return feats
 
 
+def _alex_features(params, x, bf16: bool):
+    """x: (H, W, 3) in [-1, 1] -> the 5 AlexNet relu tap maps.  Used as a
+    METRIC only (no grads needed), so the 3x3/2 pools use reduce_window."""
+    h = (x - _SHIFT) / _SCALE
+    h = h[None]
+    if bf16:
+        h = h.astype(jnp.bfloat16)
+    feats = []
+    for conv_p, (c, ksz, stride, pad, pool_before) in zip(params["convs"], _ALEX_CONVS):
+        if pool_before:
+            # torch MaxPool2d(3, 2): no padding, floor output size
+            h = jax.lax.reduce_window(
+                h, -jnp.inf if h.dtype == jnp.float32 else jnp.finfo(h.dtype).min,
+                jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID",
+            )
+        w = conv_p["w"]
+        b = conv_p["b"]
+        if bf16:
+            w = w.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        h = jax.lax.conv_general_dilated(
+            h, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn
+        )
+        h = jax.nn.relu(h + b)
+        feats.append(h[0].astype(jnp.float32))
+    return feats
+
+
 def lpips(params, pred: jax.Array, gt: jax.Array, bf16: bool = True) -> jax.Array:
     """LPIPS distance between two (H, W, 3) images in [-1, 1]
     (utils/lpips/lpips.py forward: unit-normalize, squared diff, 1x1 head,
-    spatial mean, sum over the 5 taps)."""
-    f_p = _vgg_features(params, pred, bf16)
-    f_g = _vgg_features(params, gt, bf16)
+    spatial mean, sum over the 5 taps).  Trunk selected by params["net"]."""
+    features = _alex_features if params.get("net", "vgg") == "alex" else _vgg_features
+    f_p = features(params, pred, bf16)
+    f_g = features(params, gt, bf16)
     total = 0.0
     for fp, fg, head in zip(f_p, f_g, params["heads"]):
         np_ = fp / (jnp.linalg.norm(fp, axis=-1, keepdims=True) + 1e-10)

@@ -61,3 +61,25 @@ def make_optimizer(train_cfg: dict, params: dict) -> optax.GradientTransformatio
             optax.scale_by_schedule(lambda t: 0.1 ** (t / decay_steps))
         )
     return optax.chain(*chain)
+
+
+def fast_forward_schedule(opt_state, step: int):
+    """Set every ScaleByScheduleState count in ``opt_state`` to ``step``.
+
+    The reference recomputes lr from the GLOBAL iteration every step
+    (train.py:166-175,348), so when it rebuilds Adam at a subdivision
+    milestone (train.py:341-346) the decay is continuous.  Our optimizer is
+    rebuilt too (shapes change), which would re-init the schedule count to 0
+    and jump the effective lr back up; this fast-forward restores parity.
+    Adam's own bias-correction count is intentionally NOT touched — the
+    reference's fresh ``torch.optim.Adam`` restarts moments/bias correction.
+    """
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=jnp.asarray(step, jnp.int32))
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(fix(x) for x in s)
+        return s
+
+    return fix(opt_state)

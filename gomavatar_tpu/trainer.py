@@ -27,10 +27,15 @@ from gomavatar_tpu.models.gom import (
     subdivide_gom,
 )
 from gomavatar_tpu.losses import compute_loss, unpack
-from gomavatar_tpu.optim import make_optimizer
+from gomavatar_tpu.optim import make_optimizer, fast_forward_schedule
 from gomavatar_tpu import checkpoint as ckpt_lib
 
 log = logging.getLogger(__name__)
+
+# fail hard on any binning-budget overflow (device sync per step; debug only)
+import os as _os
+
+_DEBUG_BINNING = bool(int(_os.environ.get("GOMAVATAR_DEBUG_BINNING", "0")))
 
 
 def make_train_step(gom_cfg: GoMConfig, loss_cfg: dict, tx: optax.GradientTransformation):
@@ -63,6 +68,13 @@ def make_train_step(gom_cfg: GoMConfig, loss_cfg: dict, tx: optax.GradientTransf
                 loss_cfg,
                 lpips_params=lpips_params,
             )
+            # surface binning-overflow telemetry next to the losses (ends up
+            # in the train log / TB; nonzero = renders silently degraded)
+            tel = aux.get("binning")
+            if tel is not None:
+                losses = dict(losses)
+                losses["bin_drop_budget"] = tel.dropped_budget
+                losses["bin_drop_buffer"] = tel.dropped_buffer
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -94,14 +106,18 @@ class Trainer:
 
         key = jax.random.PRNGKey(seed)
         self.params, self.statics, self.gom_cfg = init_gom(key, cfg["model"], canonical_info)
-        self._rebuild_optimizer()
         self.i_iter = 0
+        self._rebuild_optimizer()
 
     # -- phase management ----------------------------------------------------
 
     def _rebuild_optimizer(self):
         self.tx = make_optimizer(self.cfg["train"], self.params)
         self.opt_state = self.tx.init(self.params)
+        if self.i_iter:
+            # keep lr decay continuous across the phase change (the reference
+            # recomputes lr from the global iteration, train.py:166-175)
+            self.opt_state = fast_forward_schedule(self.opt_state, self.i_iter)
         if self.data_parallel > 1:
             from gomavatar_tpu.parallel import make_mesh, make_data_parallel_train_step
 
@@ -155,6 +171,15 @@ class Trainer:
             batch,
             jnp.asarray(self.i_iter, jnp.float32),
         )
+        if _DEBUG_BINNING:
+            dropped = int(losses.get("bin_drop_budget", 0)) + int(
+                losses.get("bin_drop_buffer", 0)
+            )
+            assert dropped == 0, (
+                f"binning dropped {dropped} entries at iter {self.i_iter} — "
+                f"raise max_tiles_per_gaussian / buffer_factor "
+                f"(GOMAVATAR_DEBUG_BINNING=1 makes this fatal)"
+            )
         self.i_iter += 1
         return total, losses
 

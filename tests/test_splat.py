@@ -127,3 +127,83 @@ def test_gradients_finite_differences(rng):
         op_m = opacity.at[i].add(-eps)
         fd = (float(f(op_p)) - float(f(op_m))) / (2 * eps)
         np.testing.assert_allclose(g[i], fd, rtol=0.05, atol=1e-3)
+
+
+def test_binning_telemetry_zero_on_normal_scene(rng):
+    """Default budgets must cover a typical scene exactly (all-zero drops =
+    parity with the CUDA rasterizer's dynamic binning)."""
+    from gomavatar_tpu.ops.splat.binning import bin_gaussians
+
+    means, cov, colors, opacity, K, E = make_scene(rng)
+    proj = project_gaussians(means, cov, K, E, (W, H))
+    bins = bin_gaussians(proj.mean2d, proj.radius, proj.depth, proj.valid, (W, H))
+    tel = bins.telemetry
+    assert int(tel.dropped_budget) == 0
+    assert int(tel.dropped_buffer) == 0
+    assert int(tel.truncated_prims) == 0
+    assert int(tel.max_tile_entries) > 0
+
+
+def test_binning_telemetry_detects_overflow(rng):
+    """A constructed close-up (huge radii, tiny budgets) must report drops
+    instead of failing silently (round-1 VERDICT weak #3)."""
+    from gomavatar_tpu.ops.splat.binning import bin_gaussians
+
+    n = 64
+    mean2d = jnp.asarray(rng.random((n, 2)) * [W, H], jnp.float32)
+    radius = jnp.full((n,), 40.0, jnp.float32)  # covers many tiles each
+    depth = jnp.asarray(rng.random(n) + 1.0, jnp.float32)
+    valid = jnp.ones((n,), bool)
+    bins = bin_gaussians(
+        mean2d, radius, depth, valid, (W, H), max_tiles_per_gaussian=2
+    )
+    assert int(bins.telemetry.dropped_budget) > 0
+    assert int(bins.telemetry.truncated_prims) > 0
+    # buffer cap: a dense close-up with a tiny buffer_factor drops entries
+    n2 = 400
+    mean2d2 = jnp.asarray(rng.random((n2, 2)) * [W, H], jnp.float32)
+    bins2 = bin_gaussians(
+        mean2d2,
+        jnp.full((n2,), 40.0, jnp.float32),
+        jnp.asarray(rng.random(n2) + 1.0, jnp.float32),
+        jnp.ones((n2,), bool),
+        (W, H),
+        max_tiles_per_gaussian=16,
+        buffer_factor=1,
+    )
+    assert int(bins2.telemetry.dropped_buffer) > 0
+
+
+def test_binning_telemetry_reaches_train_losses(rng):
+    """The trainer surfaces the counters next to the losses."""
+    from gomavatar_tpu.config import default_cfg
+    from gomavatar_tpu.trainer import Trainer
+    from gomavatar_tpu.models.smpl import synthetic_body, synthetic_camera
+    from gomavatar_tpu.ops.skeleton import (
+        body_pose_to_body_RTs,
+        get_canonical_global_tfms,
+    )
+
+    cfg = default_cfg()
+    cfg["img_size"] = [48, 48]
+    cfg["model"]["img_size"] = [48, 48]
+    cfg["train"]["losses"]["lpips"]["coeff"] = 0.0
+    info = synthetic_body(n_rings=6, n_seg=6)
+    tr = Trainer(cfg, info)
+    K, E = synthetic_camera((48, 48), distance=3.0, focal=45.0)
+    joints = jnp.asarray(info["canonical_joints"])
+    pose = np.zeros(72, np.float32)
+    Rs, Ts = body_pose_to_body_RTs(jnp.asarray(pose), joints)
+    batch = {
+        "K": jnp.asarray(K), "E": jnp.asarray(E),
+        "cnl_gtfms": get_canonical_global_tfms(joints),
+        "dst_Rs": Rs, "dst_Ts": Ts,
+        "dst_posevec": jnp.asarray(pose[3:] + 1e-2),
+        "bgcolor": jnp.zeros(3),
+        "target_rgbs": jnp.zeros((48, 48, 3), jnp.float32),
+        "target_masks": jnp.zeros((48, 48), jnp.float32),
+    }
+    _, losses = tr.step(batch)
+    assert "bin_drop_budget" in losses and "bin_drop_buffer" in losses
+    assert int(losses["bin_drop_budget"]) == 0
+    assert int(losses["bin_drop_buffer"]) == 0

@@ -121,6 +121,37 @@ def test_checkpoint_across_subdivision(info, tmp_path):
     )
 
 
+def _schedule_counts(opt_state):
+    import optax
+
+    counts = []
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            counts.append(int(s.count))
+        elif isinstance(s, tuple) and not hasattr(s, "_fields"):
+            for x in s:
+                walk(x)
+
+    walk(opt_state)
+    return counts
+
+
+def test_lr_decay_continuous_across_subdivision(info):
+    """The reference recomputes lr from the GLOBAL iteration (train.py:166-175)
+    so rebuilding the optimizer at a subdivision milestone must not reset the
+    decay schedule.  Regression test for the round-1 parity bug."""
+    tr = Trainer(small_cfg(subdivide_at=3), info)
+    batch = make_batch(info)
+    for _ in range(5):
+        tr.step(batch)
+    assert tr.phase == 1
+    counts = _schedule_counts(tr.opt_state)
+    assert counts, "expected a scale_by_schedule state in the optax chain"
+    # 5 global steps taken -> schedule count is 5, NOT (5 - milestone)
+    assert counts == [tr.i_iter] == [5], counts
+
+
 def test_lr_decay_matches_reference_schedule(info):
     """After n steps the effective step scale is base_lr * 0.1^(n/decay)."""
     cfg = small_cfg()
