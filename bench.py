@@ -13,16 +13,58 @@ Prints ONE JSON line for the driver.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 
+# persistent compile cache: the 55k-face Pallas/XLA programs take minutes to
+# build through the remote TPU compiler; repeat bench runs should not
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_gomavatar")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FPS = 43.0
+
+
+def _regression_gate():
+    """Fused-eval vs unfused-kernel agreement on a small scene, run on the
+    bench backend BEFORE timing — every driver bench re-verifies kernel
+    correctness on hardware (the pytest suite pins CPU and exercises the
+    Pallas paths only in interpreter mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from gomavatar_tpu.models.gom import gom_forward
+
+    # small scene: the gate compiles BOTH the fused eval kernel and the
+    # custom-VJP train kernels — keep it small so the timed flagship run
+    # dominates the bench wall-clock
+    params, statics, cfg, batch, _ = _flagship(
+        img_size=(64, 64), subdivide=False, rings=(16, 18)
+    )
+    args = (batch["K"], batch["E"], batch["cnl_gtfms"], batch["dst_Rs"], batch["dst_Ts"])
+    rgb_f, mask_f, _ = gom_forward(
+        params, statics, cfg, *args, dst_posevec=batch["dst_posevec"], i_iter=1e7, train=False
+    )
+    rgb_u, mask_u, aux = gom_forward(
+        params, statics, cfg, *args, dst_posevec=batch["dst_posevec"], i_iter=1e7, train=True
+    )
+    d_rgb = float(jnp.max(jnp.abs(rgb_f - rgb_u)))
+    d_mask = float(jnp.max(jnp.abs(mask_f - mask_u)))
+    assert d_rgb < 1e-4 and d_mask < 1e-4, (
+        f"fused/unfused kernels disagree: rgb {d_rgb:.3g}, mask {d_mask:.3g}"
+    )
+    assert int(aux["binning"].total_dropped()) == 0, "binning dropped entries"
+    assert bool(np.isfinite(np.asarray(rgb_f)).all())
 
 
 def main():
     from __graft_entry__ import entry
 
+    _regression_gate()
     forward, args = entry()
     fn = jax.jit(forward)
     out = fn(*args)

@@ -80,6 +80,9 @@ class GoMConfig:
     splat_impl: str = "auto"
     max_tiles_per_gaussian: int = 16
     max_tiles_per_face: int = 8
+    # fused eval renderer: static cap on non-empty tiles (a 512^2 body view
+    # covers ~200 of 1024; overflow is counted in the binning telemetry)
+    active_tile_cap: int = 512
 
     @staticmethod
     def from_model_cfg(model_cfg: dict, num_vertices: int, num_faces: int) -> "GoMConfig":
@@ -171,6 +174,67 @@ def _lbs_weights(params: dict, statics: GoMStatics, cfg: GoMConfig) -> jax.Array
     return statics.lbs_weights
 
 
+def render_frame_eval(
+    params: dict,
+    statics: GoMStatics,
+    cfg: GoMConfig,
+    verts_obs: jax.Array,
+    colors: jax.Array,
+    K: jax.Array,
+    E: jax.Array,
+    blur_margin_px: float = 0.0,
+    with_normal: bool = False,
+    interpret: bool = False,
+):
+    """Optimized eval-frame render: SoA geometry (ops/geometry.py) +
+    sorted-segment binning + the fused Pallas splat/z-buffer kernel
+    (ops/frame_render.py), with the shadow MLP evaluated per FACE (the
+    reference's per-pixel MLP input is constant per winning face).
+    Numerically equal to the unfused train path up to float reassociation
+    (~1e-5); see tests/test_frame_render.py.
+
+    ``blur_margin_px`` widens the mesh bbox; eval's hard z-buffer pass needs
+    none (the default), which keeps tile coverage — and the kernel's chunk
+    count — minimal."""
+    from gomavatar_tpu.ops.geometry import frame_geometry
+    from gomavatar_tpu.ops.splat.binning import bin_sorted
+    from gomavatar_tpu.ops.frame_render import render_frame_sorted
+    from gomavatar_tpu.models.modules import shadow_apply
+
+    geom = frame_geometry(
+        verts_obs, statics.faces, params["so3"], params["scale"], colors,
+        statics.vf_incidence, statics.vf_valid, K, E, cfg.img_size,
+        cfg.sigma, blur_margin_px,
+    )
+    table = geom.table
+    shading0 = None
+    if cfg.shadow is not None:
+        sh_cfg = cfg.module_cfg("shadow")
+        nsum = table[:, 19:22]
+        face_sh = shadow_apply(params["shadow"], sh_cfg, nsum)[:, 0] * 2.0
+        shading0 = shadow_apply(
+            params["shadow"], sh_cfg, jnp.zeros((1, 3), table.dtype)
+        )[0, 0] * 2.0
+        table = table.at[:, 22].set(face_sh)
+    ub = geom.union_box
+    bins = bin_sorted(
+        ub[0], ub[1], ub[2], ub[3], geom.depth, geom.valid,
+        cfg.img_size,
+        max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+        buffer_factor=4,
+        active_cap=cfg.active_tile_cap,
+        flag_boxes=(
+            (geom.sx0, geom.sx1, geom.sy0, geom.sy1, geom.valid_splat),
+            (geom.mx0, geom.mx1, geom.my0, geom.my1, geom.valid_mesh),
+        ),
+    )
+    return render_frame_sorted(
+        table, bins, cfg.img_size,
+        shading0=shading0,
+        with_normal=with_normal, interpret=interpret,
+    )
+
+
 def gom_forward(
     params: dict,
     statics: GoMStatics,
@@ -242,21 +306,11 @@ def gom_forward(
     )
     normals_cam = mm(normals, E[:3, :3].T)
 
-    # ONE union-bbox tile binning serves both rasterizers (the splats are
-    # pinned to the faces).  The same (soft-silhouette) margin is used in
-    # train and eval so their renders are bit-identical.
-    from gomavatar_tpu.ops.fused_render import frame_union_bins, render_frame_fused
     from gomavatar_tpu.ops.mesh_raster import np_log_blur, MeshRasterOut
 
     W, H = cfg.img_size
     ndc_per_px = 2.0 / min(W, H)
     blur_margin_px = (np_log_blur(cfg.normal_renderer_sigma) ** 0.5) / ndc_per_px + 1.0
-    shared = frame_union_bins(
-        centroids, cov, verts_obs, faces, K, E, cfg.img_size,
-        blur_margin_px=blur_margin_px,
-        max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
-    )
-    bins = shared[4]
 
     use_fused = (
         not train
@@ -264,38 +318,49 @@ def gom_forward(
         and jax.default_backend() not in ("cpu",)
     )
     if use_fused:
-        # eval path: one Pallas sweep does both the splat blend and the
-        # z-buffer normal pass (ops/fused_render.py)
-        albedo, mask, normal_img, normal_hard_mask = render_frame_fused(
-            centroids, cov, colors, opacity, verts_obs, normals_cam, faces,
-            K, E, cfg.img_size, precomputed=shared,
+        # Eval path: SoA per-face geometry -> sorted-segment union binning
+        # with per-pass flags -> ONE Pallas sweep computing splat blend +
+        # z-buffer shading/normal selection (ops/geometry.py,
+        # ops/frame_render.py).  No blur margin: eval has no soft-silhouette
+        # pass, so the mesh bbox is the tight triangle bbox.
+        rgb, mask = render_frame_eval(
+            params, statics, cfg, verts_obs, colors, K, E
         )
-        mesh_out = MeshRasterOut(normal=normal_img, mask=normal_hard_mask, soft_mask=None)
-    else:
-        albedo, mask = render_gaussians(
-            centroids,
-            cov,
-            colors,
-            opacity,
-            K,
-            E,
-            cfg.img_size,
-            implementation=cfg.splat_impl,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-            bins=bins,
-        )
-        mesh_out = rasterize_mesh(
-            verts_obs,
-            normals_cam,
-            faces,
-            K,
-            E,
-            cfg.img_size,
-            soft_mask=train,
-            blur_sigma=cfg.normal_renderer_sigma,
-            max_tiles_per_face=cfg.max_tiles_per_face,
-            bins=bins,
-        )
+        return rgb, mask, {}
+
+    # Train/CPU path: shared union binning + separate custom-VJP kernels.
+    from gomavatar_tpu.ops.fused_render import frame_union_bins
+
+    shared = frame_union_bins(
+        centroids, cov, verts_obs, faces, K, E, cfg.img_size,
+        blur_margin_px=blur_margin_px,
+        max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+    )
+    bins = shared[4]
+    albedo, mask = render_gaussians(
+        centroids,
+        cov,
+        colors,
+        opacity,
+        K,
+        E,
+        cfg.img_size,
+        implementation=cfg.splat_impl,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        bins=bins,
+    )
+    mesh_out = rasterize_mesh(
+        verts_obs,
+        normals_cam,
+        faces,
+        K,
+        E,
+        cfg.img_size,
+        soft_mask=train,
+        blur_sigma=cfg.normal_renderer_sigma,
+        max_tiles_per_face=cfg.max_tiles_per_face,
+        bins=bins,
+    )
 
     # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)
     if cfg.shadow is not None:

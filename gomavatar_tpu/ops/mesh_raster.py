@@ -141,7 +141,9 @@ def rasterize_mesh(
         [tris_xy.reshape(-1, 6), tris_z, nsum], axis=-1
     )  # (F, 12)
     ent = per_face[bins.entry_gauss]  # (Dp, 12)
-    ent_valid = bins.entry_valid * in_front[bins.entry_gauss].astype(jnp.float32)
+    # entry_mesh (== entry_valid for a tight tri-bbox binning) keeps the
+    # mesh pass inside its own bbox+blur tiles under a union binning
+    ent_valid = bins.entry_mesh * in_front[bins.entry_gauss].astype(jnp.float32)
 
     sigma_px2 = float(sigma) / (ndc_per_px * ndc_per_px)  # sigmoid temp in px^2
 

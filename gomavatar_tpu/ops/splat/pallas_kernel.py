@@ -72,33 +72,56 @@ def _chunk_terms(chunk, px, py, C):
     return alpha, gate, G, dx, dy, (ca, cb, cc, op)
 
 
-def _lane_cumsum(x):
+def _dot_split3(x, m, dims):
+    """x @ m with x split into 3 exact bf16 terms (x == x1+x2+x3 to 2^-24)
+    and DEFAULT-precision bf16 matmuls.  Requires ``m`` EXACT in bf16 (0/1
+    masks, the triangular cumsum matrix).  Numerically ~HIGHEST but half the
+    MXU passes; Mosaic lowers neither Precision.HIGH nor f32 single-pass."""
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(
+            a, mb, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    return mm(x1) + mm(x2) + mm(x3)
+
+
+def _lane_cumsum(x, fast: bool = False):
     """Inclusive prefix sum along the lane (last) axis as one MXU matmul:
     cum[p, j] = sum_i x[p, i] * [i <= j].  Pallas TPU has no cumsum
     primitive; a [256,128]x[128,128] triangular matmul is ~free on the MXU.
-    HIGHEST precision: these are log-transmittance sums, bf16 passes would
-    leak visible error through the exp."""
+    ``fast`` uses the 3-term bf16 split (~2^-24 relative, half the MXU
+    passes of HIGHEST) — the forward-only fused kernel's mode; the
+    custom-VJP train kernels keep HIGHEST for bit-stable gradients."""
     n = x.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     tri = (row <= col).astype(x.dtype)
+    dims = (((1,), (0,)), ((), ()))
+    if fast:
+        return _dot_split3(x, tri, dims)
     return jax.lax.dot_general(
         x,
         tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=dims,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _transmittance(alpha, log_T):
+def _transmittance(alpha, log_T, fast: bool = False):
     """Cumulative transmittance along the entry (lane) axis.
 
     Returns (w, log1m, new_log_T): blend weights with the CUDA termination
     gate, per-entry log(1-alpha), and the carried log-transmittance (P, 1).
     """
     log1m = jnp.log1p(-alpha)
-    cum = _lane_cumsum(log1m) + log_T
+    cum = _lane_cumsum(log1m, fast) + log_T
     T_incl = jnp.exp(cum)
     T_excl = jnp.exp(cum - log1m)
     w = jnp.where(T_incl < T_EPS, 0.0, T_excl * alpha)

@@ -86,7 +86,10 @@ def render_gaussians(
 
             per_gauss = pack_gaussian_channels(proj.mean2d, proj.conic, op_eff, colors)
             entries = per_gauss[eg].T  # (NCH_pad, Dp)
-            entries = entries.at[5].multiply(bins.entry_valid)
+            # entry_splat (== entry_valid for a splat-only binning) gates the
+            # opacity so union-binned renders match the CUDA radius-bbox
+            # semantics exactly (see TileBinning.entry_splat)
+            entries = entries.at[5].multiply(bins.entry_splat)
             img, alpha = composite_tiles_pallas(
                 entries,
                 bins.entry_valid,
@@ -101,7 +104,7 @@ def render_gaussians(
                 proj.mean2d[eg],
                 proj.conic[eg],
                 colors[eg],
-                op_eff[eg] * bins.entry_valid,
+                op_eff[eg] * bins.entry_splat,
                 bins.tile_start,
                 bins.tile_count,
                 bins.num_tiles_x,

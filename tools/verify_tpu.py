@@ -103,8 +103,11 @@ def main():
     args = (batch["K"], batch["E"], batch["cnl_gtfms"], batch["dst_Rs"], batch["dst_Ts"])
     rgb_f, mask_f, _ = gom_forward(params, statics, cfg, *args, dst_posevec=batch["dst_posevec"], i_iter=1e7, train=False)
     rgb_u, mask_u, _ = gom_forward(params, statics, cfg, *args, dst_posevec=batch["dst_posevec"], i_iter=1e7, train=True)
-    check("fused vs unfused rgb", rgb_f, rgb_u, 1e-6)
-    check("fused vs unfused mask", mask_f, mask_u, 1e-6)
+    # the fused eval kernel evaluates the splat quadratic/barycentrics in
+    # tile-local coefficient form and bf16x3-split matmuls — identical math
+    # up to float reassociation (~1e-5; ops/frame_render.py docstring)
+    check("fused vs unfused rgb", rgb_f, rgb_u, 1e-4)
+    check("fused vs unfused mask", mask_f, mask_u, 1e-4)
 
     # --- 4. sanity --------------------------------------------------------
     assert bool(jnp.all(jnp.isfinite(rgb_f)))
