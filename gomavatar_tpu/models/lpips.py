@@ -92,7 +92,7 @@ def init_lpips(key: jax.Array | None = None, heads: list[np.ndarray] | None = No
     else:
         head_ws = [jnp.asarray(h.reshape(-1, 1), jnp.float32) for h in heads]
         calibrated = False  # heads alone don't calibrate a random trunk
-    return {"net": "vgg", "convs": convs, "heads": head_ws}, calibrated
+    return {"convs": convs, "heads": head_ws}, calibrated
 
 
 def init_lpips_alex(key: jax.Array | None = None, heads: list[np.ndarray] | None = None):
@@ -114,7 +114,10 @@ def init_lpips_alex(key: jax.Array | None = None, heads: list[np.ndarray] | None
         head_ws = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _ALEX_TAP_CHANNELS]
     else:
         head_ws = [jnp.asarray(h.reshape(-1, 1), jnp.float32) for h in heads]
-    return {"net": "alex", "convs": convs, "heads": head_ws}, False
+    # the trunk type rides in the treedef as key PRESENCE ("alex": ())
+    # rather than a string leaf: jit cannot trace str leaves, and the
+    # params dict is a jitted train-step argument (trainer.py:45)
+    return {"alex": (), "convs": convs, "heads": head_ws}, False
 
 
 def load_torch_alexnet(path: str, heads_path: str | None = None):
@@ -133,7 +136,7 @@ def load_torch_alexnet(path: str, heads_path: str | None = None):
         heads = [jnp.asarray(h.reshape(-1, 1)) for h in load_torch_heads(heads_path)]
     else:
         heads = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _ALEX_TAP_CHANNELS]
-    return {"net": "alex", "convs": convs, "heads": heads}, heads_path is not None
+    return {"alex": (), "convs": convs, "heads": heads}, heads_path is not None
 
 
 def load_torch_heads(path: str) -> list[np.ndarray]:
@@ -172,7 +175,7 @@ def load_torch_vgg16(path: str, heads_path: str | None = None):
         heads = [jnp.asarray(h.reshape(-1, 1)) for h in load_torch_heads(heads_path)]
     else:
         heads = [jnp.full((c, 1), 1.0 / c, jnp.float32) for c in _TAP_CHANNELS]
-    return {"net": "vgg", "convs": convs, "heads": heads}, heads_path is not None
+    return {"convs": convs, "heads": heads}, heads_path is not None
 
 
 def _vgg_features(params, x, bf16: bool):
@@ -237,8 +240,9 @@ def _alex_features(params, x, bf16: bool):
 def lpips(params, pred: jax.Array, gt: jax.Array, bf16: bool = True) -> jax.Array:
     """LPIPS distance between two (H, W, 3) images in [-1, 1]
     (utils/lpips/lpips.py forward: unit-normalize, squared diff, 1x1 head,
-    spatial mean, sum over the 5 taps).  Trunk selected by params["net"]."""
-    features = _alex_features if params.get("net", "vgg") == "alex" else _vgg_features
+    spatial mean, sum over the 5 taps).  Trunk selected by the presence of
+    the "alex" marker key (static under jit, unlike a string leaf)."""
+    features = _alex_features if "alex" in params else _vgg_features
     f_p = features(params, pred, bf16)
     f_g = features(params, gt, bf16)
     total = 0.0

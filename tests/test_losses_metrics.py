@@ -257,7 +257,7 @@ def test_evaluator_snapshot_uses_alex_trunk():
     from gomavatar_tpu.eval_lib import EvaluatorSnapshot
 
     ev = EvaluatorSnapshot()
-    assert ev.lpips_params["net"] == "alex"
+    assert "alex" in ev.lpips_params  # alex-trunk marker key
     pred = np.zeros((32, 32, 3), np.float32)
     gt = np.ones((32, 32, 3), np.float32) * 0.5
     ev.evaluate(pred, gt)
@@ -265,3 +265,17 @@ def test_evaluator_snapshot_uses_alex_trunk():
     # uncalibrated trunk -> labeled as such (round-1 VERDICT missing #2)
     assert "lpips_uncalibrated" in means and "lpips" not in means
     assert np.isfinite(means["lpips_uncalibrated"])
+
+
+def test_lpips_params_are_jittable():
+    """LPIPS params are a jitted train-step argument (trainer.py:45) — the
+    trunk marker must live in the treedef, not as an untraceable str leaf."""
+    import jax
+    import jax.numpy as jnp
+    from gomavatar_tpu.models.lpips import init_lpips, init_lpips_alex, lpips as lpips_fn
+
+    img_a = jnp.zeros((64, 64, 3))
+    img_b = jnp.ones((64, 64, 3)) * 0.5
+    f = jax.jit(lpips_fn)
+    for params, _ in (init_lpips(), init_lpips_alex()):
+        assert np.isfinite(float(f(params, img_a, img_b)))
