@@ -4,3 +4,4 @@ from gomavatar_tpu.parallel.step import (
     make_multi_scene_render,
     stack_batches,
 )
+from gomavatar_tpu.parallel.tile_render import make_tile_parallel_render

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.experimental.shard_map import shard_map  # noqa: the jax.shard_map API enforces vma typing that rejects custom-VJP kernels under P() out_specs
 
 from gomavatar_tpu.models.gom import GoMConfig, GoMStatics, gom_forward
 from gomavatar_tpu.losses import compute_loss, unpack
