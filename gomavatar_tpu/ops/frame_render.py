@@ -39,6 +39,7 @@ fused-vs-unfused agreement is asserted in tests at that tolerance.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,10 @@ def _dot_mixed(a, b, dims):
     return mm(a1, b1) + mm(a2, b1) + mm(a1, b2)
 
 
+GROUP = 4  # tile slots per kernel program (amortizes ~1.4 us/program of
+# grid/pipeline overhead measured on the v5e across 4 sweeps)
+
+
 def _frame_kernel(
     # scalar prefetch
     nact_ref, aid_ref, st_ref, ct_ref,
@@ -80,6 +85,7 @@ def _frame_kernel(
     num_tiles_x: int,
     ncmax: int,
     with_mesh: bool,
+    group: int,
 ):
     out_refs = refs[:-2]
     chunk_vmem, sem = refs[-2], refs[-1]
@@ -89,25 +95,28 @@ def _frame_kernel(
     i = pl.program_id(0)
 
     # slots >= n_active are never read back (pos_of_tile points empty tiles
-    # at the appended zeros row), so the whole body is skipped for them —
-    # the static active_cap grid costs only its unread window copies.
-    @pl.when(i < nact_ref[0])
-    def _active_body():
-        _frame_tile(
-            i, aid_ref, st_ref, ct_ref, entries_hbm,
-            rgb_out, alpha_out, sel_out, chunk_vmem, sem,
-            num_tiles_x=num_tiles_x, ncmax=ncmax, with_mesh=with_mesh,
-        )
+    # at the appended zeros row), so their body is skipped — the static
+    # active_cap grid costs only its unread window copies.
+    for g in range(group):
+        s = i * group + g
+
+        @pl.when(s < nact_ref[0])
+        def _active_body(s=s, g=g):
+            _frame_tile(
+                s, g, aid_ref, st_ref, ct_ref, entries_hbm,
+                rgb_out, alpha_out, sel_out, chunk_vmem, sem,
+                num_tiles_x=num_tiles_x, ncmax=ncmax, with_mesh=with_mesh,
+            )
 
 
 def _frame_tile(
-    i, aid_ref, st_ref, ct_ref, entries_hbm,
+    s, g, aid_ref, st_ref, ct_ref, entries_hbm,
     rgb_out, alpha_out, sel_out, chunk_vmem, sem,
     *, num_tiles_x: int, ncmax: int, with_mesh: bool,
 ):
-    tile = aid_ref[i]
-    start = st_ref[i]
-    count = ct_ref[i]
+    tile = aid_ref[s]
+    start = st_ref[s]
+    count = ct_ref[s]
     astart = (start // CHUNK) * CHUNK
     head = start - astart
     nchunks = jnp.minimum((head + count + CHUNK - 1) // CHUNK, ncmax)
@@ -223,11 +232,11 @@ def _frame_tile(
     )
     _, color_acc, alpha_acc, best_z, best_s = jax.lax.fori_loop(0, nchunks, body, init)
 
-    rgb_out[0] = color_acc
-    alpha_out[0] = alpha_acc.reshape(1, P)
+    rgb_out[g] = color_acc
+    alpha_out[g] = alpha_acc.reshape(1, P)
     if with_mesh:
         hit = (best_z < _BIG).astype(jnp.float32).reshape(1, P)
-        sel_out[0] = jnp.concatenate([best_s, hit], axis=0)
+        sel_out[g] = jnp.concatenate([best_s, hit], axis=0)
 
 
 @functools.partial(
@@ -240,9 +249,10 @@ def _frame_call(
     interpret=False,
 ):
     A = active_id.shape[0]
+    G = math.gcd(A, GROUP)  # shard-local A (tile-parallel) may be < GROUP
     out_specs = [
-        pl.BlockSpec((1, 3, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 3, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((A, 3, P), jnp.float32),
@@ -250,13 +260,13 @@ def _frame_call(
     ]
     if with_mesh:
         out_specs.append(
-            pl.BlockSpec((1, 5, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((G, 5, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((A, 5, P), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(A,),
+        grid=(A // G,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         scratch_shapes=[
@@ -270,6 +280,7 @@ def _frame_call(
             num_tiles_x=num_tiles_x,
             ncmax=ncmax,
             with_mesh=with_mesh,
+            group=G,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
