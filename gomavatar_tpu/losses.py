@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from gomavatar_tpu.ops.mesh_ops import (
     uniform_laplacian_loss,
+    uniform_laplacian_loss_nbr,
     normal_consistency_loss,
     color_consistency_loss,
 )
@@ -28,15 +29,14 @@ def dilate_mask(mask: jax.Array, kernel_size: int) -> jax.Array:
 
     Matches F.max_pool2d(k, stride=1, padding=k//2): for even k the torch
     output is shifted; the reference uses k=7 (odd) so plain SAME padding
-    is exact."""
+    is exact.  Separable (max over rows then columns — identical result,
+    2k compares per pixel instead of k^2)."""
     pad = kernel_size // 2
+    out = jax.lax.reduce_window(
+        mask, -jnp.inf, jax.lax.max, (kernel_size, 1), (1, 1), [(pad, pad), (0, 0)]
+    )
     return jax.lax.reduce_window(
-        mask,
-        -jnp.inf,
-        jax.lax.max,
-        (kernel_size, kernel_size),
-        (1, 1),
-        [(pad, pad), (pad, pad)],
+        out, -jnp.inf, jax.lax.max, (1, kernel_size), (1, 1), [(0, 0), (pad, pad)]
     )
 
 
@@ -69,11 +69,11 @@ def compute_loss(
 
     lap = loss_cfg["laplacian"]
     if lap["coeff_canonical"] > 0:
-        l = uniform_laplacian_loss(aux["verts_cnl"], statics.edges, statics.vertex_degree)
+        l = uniform_laplacian_loss_nbr(aux["verts_cnl"], statics.nbr_table, statics.vertex_degree)
         losses["laplacian_canonical"] = l
         total = total + l * lap["coeff_canonical"]
     if lap["coeff_observation"] > 0:
-        l = uniform_laplacian_loss(aux["verts_obs"], statics.edges, statics.vertex_degree)
+        l = uniform_laplacian_loss_nbr(aux["verts_obs"], statics.nbr_table, statics.vertex_degree)
         losses["laplacian_observation"] = l
         total = total + l * lap["coeff_observation"]
 
@@ -84,13 +84,13 @@ def compute_loss(
         losses["normal_mask"] = l
         total = total + l * nrm["coeff_mask"]
     if nrm["coeff_consist"] > 0:
-        l = normal_consistency_loss(aux["verts_obs"], statics.nc_quads)
+        l = normal_consistency_loss(aux["verts_obs"], statics.nc_quads, statics.dual_nc)
         losses["normal_consist"] = l
         total = total + l * nrm["coeff_consist"]
 
     cc = loss_cfg["color_consist"]
     if cc["coeff"] > 0:
-        l = color_consistency_loss(aux["colors"], statics.face_connectivity)
+        l = color_consistency_loss(aux["colors"], statics.face_connectivity, statics.dual_conn)
         losses["color_consist"] = l
         total = total + l * cc["coeff"]
 

@@ -57,6 +57,14 @@ class GoMStatics(NamedTuple):
     lbs_weights: jax.Array  # (N, J) f32 (fixed path; ignored when refining)
     vf_incidence: jax.Array  # (N, maxdeg) int32 incident faces per vertex
     vf_valid: jax.Array  # (N, maxdeg) f32 mask
+    # gather-based index transposes (ops/mesh_ops.DualIndex/NeighborTable):
+    # autodiff would lower each gather's transpose to a TPU scatter-add —
+    # measured ~3x the whole geometry backward at 55k faces
+    dual_faces: Any
+    dual_nc: Any
+    dual_conn: Any
+    dual_vfinc: Any
+    nbr_table: Any
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +138,16 @@ def _build_statics(faces: np.ndarray, vertices: np.ndarray, lbs_weights: np.ndar
         lbs_weights=jnp.asarray(lbs_weights, jnp.float32),
         vf_incidence=jnp.asarray(topo.vf_incidence, jnp.int32),
         vf_valid=jnp.asarray(topo.vf_valid, jnp.float32),
+        dual_faces=_dev(topo.dual_faces),
+        dual_nc=_dev(topo.dual_nc),
+        dual_conn=_dev(topo.dual_conn),
+        dual_vfinc=_dev(topo.dual_vfinc),
+        nbr_table=_dev(topo.nbr_table),
     )
+
+
+def _dev(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
 def init_gom(key: jax.Array, model_cfg: dict, canonical_info: dict):
@@ -292,17 +309,24 @@ def gom_forward(
 
     faces = statics.faces
 
-    # 5. Steiner covariances in observation space (model.py:227-234)
-    cov = face_covariances(verts_obs, faces, params["so3"], params["scale"], cfg.sigma)
-    centroids = verts_obs[faces].mean(axis=1)
+    # 5. Steiner covariances in observation space (model.py:227-234).
+    # ONE vertex gather with a gather-based transpose (mesh_ops.gather_vjp)
+    # feeds covariance, centroid AND normal consumers — autodiff of separate
+    # plain gathers would emit one TPU scatter-add per consumer.
+    from gomavatar_tpu.ops.mesh_ops import gather_vjp, vertex_normals_from_tri
+    from gomavatar_tpu.ops.steiner import face_covariances_tri
+
+    tri = gather_vjp(verts_obs, faces, statics.dual_faces)  # (F, 3, 3)
+    cov = face_covariances_tri(tri, params["so3"], params["scale"], cfg.sigma)
+    centroids = tri.mean(axis=1)
 
     # 6.+7. appearance + splat render + vertex normals + mesh raster
     # (model.py:236-250, 270-274); alpha is native here (no 3-channel
     # chunking, cf. gaussian.py:77-94)
     colors = M.appearance_apply(params["appearance"])
     opacity = jnp.ones((cfg.num_faces,), jnp.float32)
-    normals = vertex_normals_incidence(
-        verts_obs, faces, statics.vf_incidence, statics.vf_valid
+    normals = vertex_normals_from_tri(
+        tri, statics.vf_incidence, statics.vf_valid, statics.dual_vfinc
     )
     normals_cam = mm(normals, E[:3, :3].T)
 
@@ -335,6 +359,7 @@ def gom_forward(
         centroids, cov, verts_obs, faces, K, E, cfg.img_size,
         blur_margin_px=blur_margin_px,
         max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+        dual_faces=statics.dual_faces,
     )
     bins = shared[4]
     albedo, mask = render_gaussians(
@@ -360,6 +385,7 @@ def gom_forward(
         blur_sigma=cfg.normal_renderer_sigma,
         max_tiles_per_face=cfg.max_tiles_per_face,
         bins=bins,
+        dual_faces=statics.dual_faces,
     )
 
     # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)

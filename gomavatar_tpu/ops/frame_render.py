@@ -47,29 +47,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gomavatar_tpu.ops.splat.binning import SortedBinning, TILE, CHUNK
-from gomavatar_tpu.ops.splat.pallas_kernel import _transmittance, _dot_split3
+from gomavatar_tpu.ops.splat.pallas_kernel import _transmittance, _dot_split3, _dot_mixed
 from gomavatar_tpu.ops.splat.reference import ALPHA_MAX, ALPHA_MIN
 from gomavatar_tpu.ops.geometry import NCH
 
 P = TILE * TILE
 _BIG = 1e10
-
-
-def _dot_mixed(a, b, dims):
-    """a @ b, both f32, via a 2x2 bf16 split keeping the three leading
-    product terms (~2^-16 relative).  DEFAULT-precision passes only —
-    Mosaic lowers neither Precision.HIGH nor single-pass f32 dots."""
-    a1 = a.astype(jnp.bfloat16)
-    a2 = (a - a1.astype(jnp.float32)).astype(jnp.bfloat16)
-    b1 = b.astype(jnp.bfloat16)
-    b2 = (b - b1.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(x, y):
-        return jax.lax.dot_general(
-            x, y, dimension_numbers=dims, preferred_element_type=jnp.float32
-        )
-
-    return mm(a1, b1) + mm(a2, b1) + mm(a1, b2)
 
 
 GROUP = 4  # tile slots per kernel program (amortizes ~1.4 us/program of
@@ -180,7 +163,8 @@ def _frame_tile(
         alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
-        w, _, log_T = _transmittance(alpha, log_T, fast=True)
+        w, _, cum_t = _transmittance(alpha, log_T, fast=True)
+        log_T = cum_t[:, CHUNK - 1 : CHUNK]
         color_acc = color_acc + _dot_mixed(
             chunk[6:9, :], w, (((1,), (1,)), ((), ()))
         )

@@ -34,6 +34,7 @@ def frame_union_bins(
     blur_margin_px: float = 0.0,
     max_tiles_per_primitive: int = 16,
     buffer_factor: int = 4,
+    dual_faces=None,
 ):
     """Shared per-frame binning: ONE union-bbox tile binning serving both
     the splat blend and the mesh passes (gaussians are pinned to faces, so
@@ -44,8 +45,17 @@ def frame_union_bins(
     Returns (proj, tris_xy, tris_z, in_front, bins)."""
     proj = project_gaussians(centroids, cov3d, K, E, img_size)
     xy, z = project_mesh(verts, K, E)
-    tris_xy = xy[faces]
-    tris_z = z[faces]
+    if dual_faces is not None:
+        # gather-based transpose (mesh_ops.gather_vjp); see TileBinning
+        from gomavatar_tpu.ops.mesh_ops import gather_vjp
+        import jax.numpy as _jnp
+
+        trip = gather_vjp(_jnp.concatenate([xy, z[:, None]], axis=-1), faces, dual_faces)
+        tris_xy = trip[..., :2]
+        tris_z = trip[..., 2]
+    else:
+        tris_xy = xy[faces]
+        tris_z = z[faces]
     in_front = jnp.all(tris_z > 1e-5, axis=-1)
 
     r = jnp.where(proj.valid, proj.radius, 0.0)

@@ -27,6 +27,153 @@ import jax.numpy as jnp
 # static topology (host, numpy)
 # ---------------------------------------------------------------------------
 
+class DualIndex:
+    """Transpose structure of an integer index array ``idx`` over
+    ``num_values`` values: for each value v, the (padded) list of FLAT
+    positions in ``idx.reshape(-1)`` where v appears.
+
+    The VJP of ``values[idx]`` is a scatter-add of the cotangent onto
+    ``values`` — pathologically slow on TPU.  With this table it becomes a
+    GATHER over the dual positions (:func:`gather_vjp`).  Appearances beyond
+    ``cap`` go to a small exact overflow list (``ov_*``) handled with one
+    tiny scatter, so the transpose is exact for any degree distribution.
+    """
+
+    __slots__ = ("pos", "valid", "ov_pos", "ov_val")
+
+    def __init__(self, pos, valid, ov_pos, ov_val):
+        self.pos = pos
+        self.valid = valid
+        self.ov_pos = ov_pos
+        self.ov_val = ov_val
+
+    def tree_flatten(self):
+        return (self.pos, self.valid, self.ov_pos, self.ov_val), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    DualIndex,
+    lambda d: d.tree_flatten(),
+    DualIndex.tree_unflatten,
+)
+
+
+def build_dual_index(
+    idx: np.ndarray, num_values: int, cap: int = 16, mask: np.ndarray | None = None
+) -> DualIndex:
+    """Build the :class:`DualIndex` of ``idx`` (any shape) over
+    ``num_values``.  ``mask`` (same shape, truthy = real) excludes padding
+    slots of masked index tables."""
+    idx = np.asarray(idx)
+    flat = idx.reshape(-1)
+    keep = np.ones(flat.shape[0], bool) if mask is None else np.asarray(mask).reshape(-1) > 0
+    order = np.argsort(flat[keep], kind="stable")
+    positions = np.nonzero(keep)[0][order]
+    vals = flat[keep][order]
+    counts = np.bincount(vals, minlength=num_values)
+    width = int(min(counts.max() if counts.size else 1, cap)) or 1
+    pos = np.zeros((num_values, width), np.int32)
+    valid = np.zeros((num_values, width), np.float32)
+    ov_pos, ov_val = [], []
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for v in range(num_values):
+        c = counts[v]
+        s = starts[v]
+        k = min(c, width)
+        pos[v, :k] = positions[s : s + k]
+        valid[v, :k] = 1.0
+        for j in range(k, c):
+            ov_pos.append(positions[s + j])
+            ov_val.append(v)
+    return DualIndex(
+        pos=pos,
+        valid=valid,
+        ov_pos=np.asarray(ov_pos, np.int32),
+        ov_val=np.asarray(ov_val, np.int32),
+    )
+
+
+@jax.custom_vjp
+def gather_vjp(values: jax.Array, idx: jax.Array, dual: DualIndex) -> jax.Array:
+    """``values[idx]`` with a gather-based transpose.
+
+    ``values``: (V,) or (V, C...); ``idx``: any int shape; ``dual``: the
+    :class:`DualIndex` of ``idx`` over V.  Identical forward to plain
+    indexing; the backward runs as a (V, width) gather + a tiny exact
+    overflow scatter instead of a full scatter-add."""
+    return values[idx]
+
+
+def _gather_vjp_fwd(values, idx, dual):
+    return values[idx], (values.shape, idx, dual)
+
+
+def _gather_vjp_bwd(res, g):
+    shape, idx, dual = res
+    trailing = shape[1:]
+    flat = g.reshape((-1,) + trailing)
+    vshape = dual.valid.shape + (1,) * len(trailing)
+    d = jnp.sum(flat[dual.pos] * dual.valid.reshape(vshape), axis=1)
+    if dual.ov_pos.shape[0]:
+        d = d.at[dual.ov_val].add(flat[dual.ov_pos])
+    return d, None, None
+
+
+gather_vjp.defvjp(_gather_vjp_fwd, _gather_vjp_bwd)
+
+
+class NeighborTable:
+    """Padded vertex-neighbor table built from the undirected edge list,
+    with an exact overflow list and the dual index of the neighbor array —
+    everything :func:`neighbor_sum` needs for a scatter-free Laplacian with
+    a gather-based VJP."""
+
+    __slots__ = ("nbr", "valid", "ov_v", "ov_nbr", "dual")
+
+    def __init__(self, nbr, valid, ov_v, ov_nbr, dual):
+        self.nbr = nbr
+        self.valid = valid
+        self.ov_v = ov_v
+        self.ov_nbr = ov_nbr
+        self.dual = dual
+
+
+jax.tree_util.register_pytree_node(
+    NeighborTable,
+    lambda t: ((t.nbr, t.valid, t.ov_v, t.ov_nbr, t.dual), None),
+    lambda aux, ch: NeighborTable(*ch),
+)
+
+
+def build_neighbor_table(edges: np.ndarray, num_vertices: int, cap: int = 16) -> NeighborTable:
+    edges = np.asarray(edges)
+    directed = np.concatenate([edges, edges[:, ::-1]], axis=0)  # (2E, 2)
+    d_src = build_dual_index(directed[:, 0], num_vertices, cap=cap)
+    nbr = directed[:, 1][d_src.pos].astype(np.int32) * (d_src.valid > 0)
+    ov_nbr = directed[:, 1][d_src.ov_pos].astype(np.int32)
+    return NeighborTable(
+        nbr=nbr,
+        valid=d_src.valid,
+        ov_v=d_src.ov_val,
+        ov_nbr=ov_nbr,
+        dual=build_dual_index(nbr, num_vertices, cap=cap, mask=d_src.valid),
+    )
+
+
+def neighbor_sum(values: jax.Array, nt: NeighborTable) -> jax.Array:
+    """Per-vertex sum of neighbor values (V, C) -> (V, C), exact for any
+    degree (capped table + tiny overflow scatter), gather-based in both
+    directions."""
+    s = jnp.sum(gather_vjp(values, nt.nbr, nt.dual) * nt.valid[..., None], axis=1)
+    if nt.ov_v.shape[0]:
+        s = s.at[nt.ov_v].add(values[nt.ov_nbr])
+    return s
+
+
 def unique_edges(faces: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Unique undirected edges of a triangle mesh.
 
@@ -147,6 +294,13 @@ class MeshTopology:
     vf_incidence: np.ndarray  # (N, maxdeg) int, incident faces per vertex
     vf_valid: np.ndarray  # (N, maxdeg) float mask
     num_vertices: int
+    # gather-based transposes for the train step (see DualIndex): autodiff
+    # would otherwise lower every index transpose to a TPU scatter-add
+    dual_faces: DualIndex  # dual of faces over vertices
+    dual_nc: DualIndex  # dual of nc_quads over vertices
+    dual_conn: DualIndex  # dual of face_connectivity over faces
+    dual_vfinc: DualIndex  # dual of (masked) vf_incidence over faces
+    nbr_table: NeighborTable  # vertex neighbors (Laplacian)
 
     @staticmethod
     def build(faces: np.ndarray, num_vertices: int) -> "MeshTopology":
@@ -156,16 +310,23 @@ class MeshTopology:
         np.add.at(degree, edges[:, 0], 1.0)
         np.add.at(degree, edges[:, 1], 1.0)
         inc, valid = vertex_face_incidence(faces, num_vertices)
+        conn = face_connectivity_pairs(faces)
+        quads = normal_consistency_pairs(faces)
         return MeshTopology(
             faces=faces,
             edges=edges,
             face_to_edge=face_to_edge,
-            face_connectivity=face_connectivity_pairs(faces),
-            nc_quads=normal_consistency_pairs(faces),
+            face_connectivity=conn,
+            nc_quads=quads,
             vertex_degree=degree,
             vf_incidence=inc,
             vf_valid=valid,
             num_vertices=num_vertices,
+            dual_faces=build_dual_index(faces, num_vertices),
+            dual_nc=build_dual_index(quads, num_vertices),
+            dual_conn=build_dual_index(conn, len(faces)),
+            dual_vfinc=build_dual_index(inc, len(faces), mask=valid),
+            nbr_table=build_neighbor_table(edges, num_vertices),
         )
 
 
@@ -211,6 +372,18 @@ def vertex_normals_incidence(
     return acc / (jnp.linalg.norm(acc, axis=-1, keepdims=True) + 1e-12)
 
 
+def vertex_normals_from_tri(
+    tri: jax.Array, vf_incidence: jax.Array, vf_valid: jax.Array, dual: DualIndex
+) -> jax.Array:
+    """:func:`vertex_normals_incidence` from pre-gathered triangles with a
+    gather-based VJP (dual = DualIndex of the masked incidence over faces).
+    Lets the train step share one vertex gather across all consumers."""
+    crosses = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])  # (F, 3)
+    gathered = gather_vjp(crosses, vf_incidence, dual) * vf_valid[..., None]
+    acc = jnp.sum(gathered, axis=1)
+    return acc / (jnp.linalg.norm(acc, axis=-1, keepdims=True) + 1e-12)
+
+
 def edge_lengths(verts: jax.Array, edges: jax.Array) -> jax.Array:
     """(N, 3), (E, 2) -> (E,) lengths (reference: models/model.py:127-134)."""
     return jnp.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=-1)
@@ -235,14 +408,32 @@ def uniform_laplacian_loss(
     return jnp.mean(jnp.sum(lap * lap, axis=-1))
 
 
-def normal_consistency_loss(verts: jax.Array, nc_quads: jax.Array) -> jax.Array:
+def uniform_laplacian_loss_nbr(
+    verts: jax.Array, nt: NeighborTable, degree: jax.Array
+) -> jax.Array:
+    """:func:`uniform_laplacian_loss` via the neighbor table: scatter-free
+    in BOTH directions (the edge-scatter forward and its gather transpose
+    are replaced by :func:`neighbor_sum`).  Same value up to summation
+    order."""
+    acc = neighbor_sum(verts, nt) - degree[:, None] * verts
+    lap = acc / jnp.maximum(degree, 1.0)[:, None]
+    return jnp.mean(jnp.sum(lap * lap, axis=-1))
+
+
+def normal_consistency_loss(
+    verts: jax.Array, nc_quads: jax.Array, dual: DualIndex | None = None
+) -> jax.Array:
     """PyTorch3D ``mesh_normal_consistency``: for each interior edge
     (v0, v1) with opposite vertices a, b, penalize
-    1 - cos( cross(v1-v0, a-v0), -cross(v1-v0, b-v0) ), averaged."""
-    v0 = verts[nc_quads[:, 0]]
-    v1 = verts[nc_quads[:, 1]]
-    a = verts[nc_quads[:, 2]]
-    b = verts[nc_quads[:, 3]]
+    1 - cos( cross(v1-v0, a-v0), -cross(v1-v0, b-v0) ), averaged.
+
+    ``dual`` (the quads' DualIndex over vertices) makes the index transpose
+    gather-based instead of a scatter-add."""
+    q = gather_vjp(verts, nc_quads, dual) if dual is not None else verts[nc_quads]
+    v0 = q[:, 0]
+    v1 = q[:, 1]
+    a = q[:, 2]
+    b = q[:, 3]
     e = v1 - v0
     n0 = jnp.cross(e, a - v0)
     n1 = -jnp.cross(e, b - v0)
@@ -252,12 +443,17 @@ def normal_consistency_loss(verts: jax.Array, nc_quads: jax.Array) -> jax.Array:
     return jnp.mean(1.0 - cos)
 
 
-def color_consistency_loss(colors: jax.Array, face_connectivity: jax.Array) -> jax.Array:
+def color_consistency_loss(
+    colors: jax.Array, face_connectivity: jax.Array, dual: DualIndex | None = None
+) -> jax.Array:
     """L1 between colors of edge-adjacent faces
     (reference: utils/network_util.py:795-799)."""
-    c0 = colors[face_connectivity[:, 0]]
-    c1 = colors[face_connectivity[:, 1]]
-    return jnp.mean(jnp.abs(c0 - c1))
+    cc = (
+        gather_vjp(colors, face_connectivity, dual)
+        if dual is not None
+        else colors[face_connectivity]
+    )
+    return jnp.mean(jnp.abs(cc[:, 0] - cc[:, 1]))
 
 
 def mesh_edge_loss(verts: jax.Array, edges: jax.Array, target_length: jax.Array) -> jax.Array:

@@ -92,6 +92,7 @@ def rasterize_mesh(
     max_chunks: int = 64,
     implementation: str = "auto",
     bins=None,
+    dual_faces=None,
 ) -> MeshRasterOut:
     """Rasterize the mesh.
 
@@ -109,8 +110,18 @@ def rasterize_mesh(
     """
     W, H = img_size
     xy, z = project_mesh(verts, K, E)
-    tris_xy = xy[faces]  # (F, 3, 2)
-    tris_z = z[faces]  # (F, 3)
+    if dual_faces is not None:
+        # gather-based index transpose (mesh_ops.gather_vjp): autodiff of a
+        # plain gather lowers its transpose to a TPU scatter-add
+        from gomavatar_tpu.ops.mesh_ops import gather_vjp
+
+        xyz = jnp.concatenate([xy, z[:, None]], axis=-1)  # (V, 3)
+        trip = gather_vjp(xyz, faces, dual_faces)  # (F, 3, 3)
+        tris_xy = trip[..., :2]
+        tris_z = trip[..., 2]
+    else:
+        tris_xy = xy[faces]  # (F, 3, 2)
+        tris_z = z[faces]  # (F, 3)
     # face validity: fully in front of the camera, non-degenerate
     in_front = jnp.all(tris_z > _Z_NEAR, axis=-1)
 
@@ -134,9 +145,14 @@ def rasterize_mesh(
         )
 
     # per-face channels: 3x(xy) = 6, 3 z, 3 summed normal
-    nsum = (
-        vertex_normals[faces[:, 0]] + vertex_normals[faces[:, 1]] + vertex_normals[faces[:, 2]]
-    )
+    if dual_faces is not None:
+        from gomavatar_tpu.ops.mesh_ops import gather_vjp
+
+        nsum = jnp.sum(gather_vjp(vertex_normals, faces, dual_faces), axis=1)
+    else:
+        nsum = (
+            vertex_normals[faces[:, 0]] + vertex_normals[faces[:, 1]] + vertex_normals[faces[:, 2]]
+        )
     per_face = jnp.concatenate(
         [tris_xy.reshape(-1, 6), tris_z, nsum], axis=-1
     )  # (F, 12)

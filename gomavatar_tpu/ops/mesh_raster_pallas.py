@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gomavatar_tpu.ops.splat.binning import TILE, CHUNK
-from gomavatar_tpu.ops.splat.pallas_kernel import _lane_cumsum, _pixel_coords
+from gomavatar_tpu.ops.splat.pallas_kernel import _dot_split3, _pixel_coords
 
 P = TILE * TILE
 _BIG = 1e10
@@ -46,9 +46,11 @@ def _bary(chunk, px, py):
     valid = chunk[12:13, :]
     denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
     denom_ok = jnp.abs(denom) >= 1e-12
-    denom_safe = jnp.where(denom_ok, denom, 1.0)
-    w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) / denom_safe
-    w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) / denom_safe
+    # reciprocal on the (1, CHUNK) row, multiply on the (P, CHUNK) block —
+    # full-block divides are multi-pass on the VPU
+    inv_denom = 1.0 / jnp.where(denom_ok, denom, 1.0)
+    w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv_denom
+    w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv_denom
     w2 = 1.0 - w0 - w1
     inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
     z_px = w0 * z0 + w1 * z1 + w2 * z2
@@ -68,7 +70,8 @@ def _soft_log1m(coords, px, py, valid_row, sigma_px2):
         abx = bx - ax
         aby = by - ay
         d2ab = abx * abx + aby * aby
-        t = ((px - ax) * abx + (py - ay) * aby) / jnp.maximum(d2ab, 1e-12)
+        inv_ab = 1.0 / jnp.maximum(d2ab, 1e-12)  # (1, CHUNK) row reciprocal
+        t = ((px - ax) * abx + (py - ay) * aby) * inv_ab
         t = jnp.clip(t, 0.0, 1.0)
         dx = px - (ax + t * abx)
         dy = py - (ay + t * aby)
@@ -90,9 +93,13 @@ def _soft_log1m(coords, px, py, valid_row, sigma_px2):
 
 
 def _first_onehot(eligible):
-    """Keep only the first True along lanes: eligible & (cumsum == 1)."""
-    e = eligible.astype(jnp.float32)
-    return jnp.logical_and(eligible, _lane_cumsum(e) <= 1.0 + 1e-6)
+    """Keep only the first True along lanes via iota-min (exact; cheaper
+    than a prefix-sum one-hot — no MXU pass)."""
+    n = eligible.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    cand = jnp.where(eligible, lane, 2.0 * n)
+    first = jnp.min(cand, axis=1, keepdims=True)
+    return jnp.logical_and(eligible, cand <= first)
 
 
 # ---------------------------------------------------------------------------
@@ -137,12 +144,9 @@ def _fwd_kernel(
         better = chunk_min < best_z
         onehot = _first_onehot((z_cand <= chunk_min) & ok & better)
         nsum = chunk[9:12, :]  # (3, CHUNK)
-        n_chunk = jax.lax.dot_general(
-            nsum, onehot.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (3, P)
+        n_chunk = _dot_split3(
+            nsum, onehot.astype(jnp.float32), (((1,), (1,)), ((), ()))
+        )  # (3, P) — exact: one-hot is 0/1, values bf16x3-split
         best_n = jnp.where(better.reshape(1, P), n_chunk, best_n)
         best_z = jnp.minimum(best_z, chunk_min)
 
@@ -235,12 +239,9 @@ def _bwd_kernel(
             claimed, jnp.max(onehot.astype(jnp.float32), axis=1, keepdims=True)
         )
         # d_nsum[c, e] = sum_p g_n[c, p] * onehot[p, e]
-        d_nsum = jax.lax.dot_general(
-            g_n, onehot.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (3, CHUNK)
+        d_nsum = _dot_split3(
+            g_n, onehot.astype(jnp.float32), (((1,), (0,)), ((), ()))
+        )  # (3, CHUNK) — exact: one-hot is 0/1, cotangents bf16x3-split
 
         dchunk_vmem[:] = jnp.zeros((NCH, CHUNK), jnp.float32)
         dchunk_vmem[9:12, :] = d_nsum

@@ -114,18 +114,37 @@ def _lane_cumsum(x, fast: bool = False):
     )
 
 
+def _dot_mixed(a, b, dims):
+    """a @ b, both f32, via a 2x2 bf16 split keeping the three leading
+    product terms (~2^-16 relative).  DEFAULT-precision passes only —
+    Mosaic lowers neither Precision.HIGH nor single-pass f32 dots, and
+    HIGHEST is a 12-pass decomposition."""
+    a1 = a.astype(jnp.bfloat16)
+    a2 = (a - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    b1 = b.astype(jnp.bfloat16)
+    b2 = (b - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    return mm(a1, b1) + mm(a2, b1) + mm(a1, b2)
+
+
 def _transmittance(alpha, log_T, fast: bool = False):
     """Cumulative transmittance along the entry (lane) axis.
 
-    Returns (w, log1m, new_log_T): blend weights with the CUDA termination
-    gate, per-entry log(1-alpha), and the carried log-transmittance (P, 1).
+    Returns (w, log1m, cum): blend weights with the CUDA termination gate,
+    per-entry log(1-alpha), and the full inclusive log-transmittance
+    (P, CHUNK) — callers carry ``cum[:, -1:]`` to the next chunk.
     """
     log1m = jnp.log1p(-alpha)
     cum = _lane_cumsum(log1m, fast) + log_T
     T_incl = jnp.exp(cum)
     T_excl = jnp.exp(cum - log1m)
     w = jnp.where(T_incl < T_EPS, 0.0, T_excl * alpha)
-    return w, log1m, cum[:, CHUNK - 1 : CHUNK]
+    return w, log1m, cum
 
 
 # ---------------------------------------------------------------------------
@@ -176,14 +195,11 @@ def _fwd_kernel(
         chunk = chunk_vmem[k % 2]
 
         alpha, _, _, _, _, _ = _chunk_terms(chunk, px, py, C)
-        w, _, log_T = _transmittance(alpha, log_T)
+        w, _, cum = _transmittance(alpha, log_T, fast=True)
+        log_T = cum[:, CHUNK - 1 : CHUNK]
         colors_c = chunk[6 : 6 + C, :]  # (C, CHUNK)
-        color_acc = color_acc + jax.lax.dot_general(
-            colors_c,
-            w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        color_acc = color_acc + _dot_mixed(
+            colors_c, w, (((1,), (1,)), ((), ()))
         )  # (C, P)
         alpha_acc = alpha_acc + jnp.sum(w, axis=1, keepdims=True)
         return k + 1, log_T, color_acc, alpha_acc
@@ -267,15 +283,12 @@ def _bwd_kernel(
         carries_vmem[k] = log_T.reshape(P)
 
         alpha, _, _, _, _, _ = _chunk_terms(chunk, px, py, C)
-        w, _, log_T = _transmittance(alpha, log_T)
+        w, _, cum = _transmittance(alpha, log_T, fast=True)
+        log_T = cum[:, CHUNK - 1 : CHUNK]
         colors_c = chunk[6 : 6 + C, :]
         # u[p, e] = sum_c g_img[c, p] * color[c, e] + g_alpha[p]
-        u = jax.lax.dot_general(
-            g_img,
-            colors_c,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        u = _dot_mixed(
+            g_img, colors_c, (((0,), (0,)), ((), ()))
         ) + g_alpha  # (P, CHUNK)
         total_uw = total_uw + jnp.sum(u * w, axis=1, keepdims=True)
         return log_T, total_uw
@@ -300,20 +313,15 @@ def _bwd_kernel(
         log_T = carries_vmem[k].reshape(P, 1)
 
         alpha, gate, G, dx, dy, (ca, cb, cc, op) = _chunk_terms(chunk, px, py, C)
-        w, log1m, _ = _transmittance(alpha, log_T)
+        w, log1m, cum = _transmittance(alpha, log_T, fast=True)
         colors_c = chunk[6 : 6 + C, :]
-        u = jax.lax.dot_general(
-            g_img,
-            colors_c,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        u = _dot_mixed(
+            g_img, colors_c, (((0,), (0,)), ((), ()))
         ) + g_alpha  # (P, CHUNK)
 
         uw = u * w
-        prefix_incl = _lane_cumsum(uw) + prefix_uw  # (P, CHUNK)
+        prefix_incl = _lane_cumsum(uw, fast=True) + prefix_uw  # (P, CHUNK)
         suffix = total_uw - prefix_incl  # sum over later entries
-        cum = _lane_cumsum(log1m) + log_T
         T_excl = jnp.exp(cum - log1m)
         T_incl = jnp.exp(cum)
         m = jnp.logical_and(T_incl >= T_EPS, alpha > 0.0)
@@ -329,13 +337,7 @@ def _bwd_kernel(
         d_mx = jnp.sum(d_power * (ca * dx + cb * dy), axis=0, keepdims=True)
         d_my = jnp.sum(d_power * (cc * dy + cb * dx), axis=0, keepdims=True)
         # d_color[c, e] = sum_p g_img[c, p] * w[p, e]
-        d_col = jax.lax.dot_general(
-            g_img,
-            w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (C, CHUNK)
+        d_col = _dot_mixed(g_img, w, (((1,), (0,)), ((), ())))  # (C, CHUNK)
 
         dchunk_vmem[0:1, :] = d_mx
         dchunk_vmem[1:2, :] = d_my

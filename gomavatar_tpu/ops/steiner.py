@@ -63,9 +63,20 @@ def face_covariances(
     Returns:
       (F, 3, 3) covariances.
     """
+    return face_covariances_tri(vertices[faces], so3_params, scale_params, sigma)
+
+
+def face_covariances_tri(
+    tris: jax.Array,
+    so3_params: jax.Array,
+    scale_params: jax.Array,
+    sigma: float = 0.001,
+) -> jax.Array:
+    """:func:`face_covariances` on pre-gathered triangles (F, 3, 3) — lets
+    the train step share ONE vertex gather (and one gather transpose in the
+    backward) across covariance/centroid/normal consumers."""
     from gomavatar_tpu.ops.transforms import so3_exp
 
-    tris = vertices[faces]  # (F, 3, 3)
     T = steiner_transform(tris, sigma)  # (F, 3, 3)
     R = so3_exp(so3_params)  # (F, 3, 3)
     RS = R * scale_params[..., None, :]  # R @ diag(s)
