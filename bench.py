@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -26,6 +27,50 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FPS = 43.0
+
+TRAINED = os.path.join(os.path.dirname(__file__), "artifacts", "e2e_trained.pkl")
+
+
+def _trained_entry():
+    """(fn, args) on the TRAINED E2E avatar (tools/export_trained.py):
+    learned albedo/geometry/so3/scale + all MLPs, a real animation pose —
+    representative splat scales and tile occupancy, unlike the uniform
+    untrained flagship (VERDICT r2 weak #2)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from gomavatar_tpu.models.gom import init_gom, subdivide_gom, gom_forward
+    from gomavatar_tpu.models.smpl import synthetic_body
+
+    with open(TRAINED, "rb") as f:
+        blob = pickle.load(f)
+    info = synthetic_body(**blob["body"])
+    params, statics, gom_cfg = init_gom(
+        jax.random.PRNGKey(0), blob["model_cfg"], info
+    )
+    for _ in range(blob["phase"]):
+        params, statics, gom_cfg = subdivide_gom(params, statics, gom_cfg)
+    assert gom_cfg.num_faces == blob["num_faces"], (
+        f"mesh generator drift: {gom_cfg.num_faces} vs {blob['num_faces']}"
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+    fr = {k: jnp.asarray(v) for k, v in blob["frame"].items()}
+
+    def forward(params, statics, K, E, cnl_gtfms, dst_Rs, dst_Ts, dst_posevec):
+        rgb, mask, aux = gom_forward(
+            params, statics, gom_cfg, K, E, cnl_gtfms, dst_Rs, dst_Ts,
+            dst_posevec=dst_posevec, i_iter=1e7, train=False,
+        )
+        tel = aux.get("binning")
+        dropped = tel.total_dropped() + aux.get("tile_overflow", 0) if tel is not None else 0
+        return rgb, mask, dropped
+
+    args = (
+        params, statics, fr["K"], fr["E"], fr["cnl_gtfms"],
+        fr["dst_Rs"], fr["dst_Ts"], fr["dst_posevec"],
+    )
+    return forward, args, blob["num_faces"], blob["iter"]
 
 
 def _regression_gate():
@@ -69,10 +114,21 @@ def main():
     from __graft_entry__ import entry
 
     _regression_gate()
-    forward, args = entry()
+    if os.path.exists(TRAINED):
+        forward, args, n_faces, it = _trained_entry()
+        print(f"bench scene: TRAINED e2e avatar (iter {it}, {n_faces} faces)", file=sys.stderr)
+    else:
+        forward, args = entry()
+        print("bench scene: untrained synthetic flagship (no trained artifact)", file=sys.stderr)
     fn = jax.jit(forward)
     out = fn(*args)
     jax.block_until_ready(out)  # compile
+    # loud budget gate on the TIMED scene (VERDICT r2: eval/bench must not
+    # silently crop over-budget frames)
+    assert int(out[2]) == 0, (
+        f"binning dropped {int(out[2])} entries on the bench scene — "
+        "raise model.max_tiles_per_gaussian / active_tile_cap"
+    )
 
     # warm-up
     for _ in range(5):

@@ -36,6 +36,61 @@ def model_size_mb(params) -> float:
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)) / 1e6
 
 
+class RenderBudgetCheck:
+    """Loud per-frame check of the static binning budgets at eval.
+
+    The CUDA reference allocates dynamically and never drops content; our
+    static budgets (max_tiles_per_gaussian, the entry-buffer cap, the
+    active-tile cap, the kernel's per-tile chunk cap) can silently crop a
+    close-up render instead.  The train path surfaces the counters next to
+    the losses (trainer.py); this does the same for eval/bench frames."""
+
+    def __init__(self):
+        self.frames_dropped = 0
+        self.total_dropped = 0
+
+    def check(self, aux: dict, frame_name: str) -> int:
+        tel = aux.get("binning")
+        if tel is None:
+            return 0
+        dropped = int(tel.total_dropped()) + int(aux.get("tile_overflow", 0))
+        if dropped:
+            self.frames_dropped += 1
+            self.total_dropped += dropped
+            logging.warning(
+                "RENDER BUDGET OVERFLOW on %s: %d entries dropped "
+                "(budget=%d buffer=%d tile_overflow=%d) — the image is "
+                "silently missing content; raise model.max_tiles_per_gaussian"
+                " / model.active_tile_cap",
+                frame_name, dropped, int(tel.dropped_budget),
+                int(tel.dropped_buffer), int(aux.get("tile_overflow", 0)),
+            )
+        return dropped
+
+    def summarize(self):
+        if self.frames_dropped:
+            logging.warning(
+                "render budget overflow on %d frames (%d entries total)",
+                self.frames_dropped, self.total_dropped,
+            )
+        else:
+            logging.info("render budgets: zero dropped entries on all frames")
+
+
+def load_refined_poses(path: str):
+    """Read a train_pose output (checkpoints/pose.pkl: Rhs/Ths/dst_poses —
+    the reference's pose.pt, train_pose.py:290-296) for re-evaluation."""
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return (
+        np.asarray(d["Rhs"], np.float32),
+        np.asarray(d["Ths"], np.float32),
+        np.asarray(d["dst_poses"], np.float32),
+    )
+
+
 def build_dataset(cfg, args):
     t = args.type
     if t == "view":
@@ -113,15 +168,38 @@ def main():
     elif protocol == "snapshot":
         evaluator = EvaluatorSnapshot()
 
+    # chain refined poses from train_pose (--pose_path checkpoints/pose.pkl)
+    # into the render loop, like the reference's pose.pt workflow
+    # (train_pose.py:290-296 -> eval re-consumption)
+    refined = None
+    if args.pose_path is not None and args.type != "pose_mdm":
+        refined = load_refined_poses(args.pose_path)
+        assert refined[0].shape[0] >= len(dataset), (
+            f"pose file has {refined[0].shape[0]} frames, dataset {len(dataset)}"
+        )
+        logging.info("using refined poses from %s", args.pose_path)
+
     out_dir = os.path.join(cfg["save_dir"], "eval", args.type)
     os.makedirs(out_dir, exist_ok=True)
     bg = jnp.asarray(np.asarray(cfg["bgcolor"], np.float32) / 255.0)
+    budget = RenderBudgetCheck()
 
     for i in range(len(dataset)):
         item = dataset[i]
         batch = to_device(item)
-        rgb, mask, _ = trainer.forward(batch)
+        if refined is not None:
+            from gomavatar_tpu.ops.skeleton import body_pose_to_body_RTs
+
+            Rhs, Ths, poses = refined
+            batch["dst_Rs"], batch["dst_Ts"] = body_pose_to_body_RTs(
+                jnp.asarray(poses[i]), batch["dst_tpose_joints"]
+            )
+            batch["dst_posevec"] = jnp.asarray(poses[i][3:] + 1e-2)
+            batch["global_R"] = jnp.asarray(Rhs[i])
+            batch["global_T"] = jnp.asarray(Ths[i])
+        rgb, mask, aux = trainer.forward(batch)
         pred = np.asarray(unpack(rgb, mask, bg, clamp=True))
+        budget.check(aux, item["frame_name"])
         Image.fromarray(to_8b_image(pred)).save(
             os.path.join(out_dir, item["frame_name"] + ".png")
         )
@@ -130,6 +208,7 @@ def main():
         if i % 10 == 0:
             logging.info("rendered %d/%d", i, len(dataset))
 
+    budget.summarize()
     if evaluator is not None:
         means = evaluator.summarize(
             os.path.join(cfg["save_dir"], "eval", f"metric_{args.type}.npy")

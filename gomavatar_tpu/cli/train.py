@@ -40,8 +40,18 @@ def setup_logging(save_dir: str, filename: str = "log.txt"):
     )
 
 
-def evaluate_on(trainer: Trainer, dataset, tb, split: str, random_bgcolor: bool, max_items=None):
-    evaluator = Evaluator(lpips_params=trainer.lpips_params, lpips_calibrated=False)
+def evaluate_on(trainer: Trainer, dataset, tb, split: str, random_bgcolor: bool,
+                max_items=None, protocol: str = "zju"):
+    """Periodic eval (reference train.py:58-95,379-382), protocol-aware:
+    snapshot test splits use the Anim-NeRF evaluator (gaussian-window SSIM +
+    alex-LPIPS), like the reference's Evaluator_snapshot."""
+    if protocol == "snapshot":
+        from gomavatar_tpu.eval_lib import EvaluatorSnapshot
+
+        evaluator = EvaluatorSnapshot()
+    else:
+        evaluator = Evaluator(lpips_params=trainer.lpips_params,
+                              lpips_calibrated=trainer.lpips_calibrated)
     bg = np.asarray(dataset.bgcolor if dataset.bgcolor is not None else [0, 0, 0], np.float32) / 255.0
     n = len(dataset) if max_items is None else min(len(dataset), max_items)
     for i in range(n):
@@ -71,9 +81,19 @@ def log_tb_visuals(trainer: Trainer, tb, batch):
         sh = np.asarray(aux["shadow"])
         tb.summ_image("model/shadow", sh[..., 0] / max(float(sh.max()), 1e-6))
     tb.summ_error_map("model/error", np.asarray(rgb), np.asarray(batch["target_rgbs"]))
+    # PCA feature viz of the normal map (tb_util.py:85-100 equivalent)
+    tb.summ_feat("model/normal_pca", normal.transpose(2, 0, 1))
 
     verts_cnl = np.asarray(aux["verts_cnl"])
     verts_obs = np.asarray(aux["verts_obs"])
+    # projected observation vertices as a 2D raster (tb_util.py:126-135)
+    K = np.asarray(batch["K"])
+    E = np.asarray(batch["E"])
+    cam = verts_obs @ E[:3, :3].T + E[:3, 3]
+    uvw = cam @ K.T
+    uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-6)
+    H, W = np.asarray(rgb).shape[:2]
+    tb.summ_pointcloud2d("observation/projected", uv, (W, H))
     faces = np.asarray(trainer.statics.faces)
     colors = np.asarray(aux["colors"])
     tb.summ_pointcloud("canonical/density", verts_cnl, faces=faces)
@@ -117,7 +137,9 @@ def evaluate_test_split(trainer: Trainer, cfg, tb):
     except (FileNotFoundError, KeyError, OSError) as e:
         logging.info("skipping test-split eval (%s)", e)
         return
-    evaluate_on(trainer, ds, tb, "test", cfg["random_bgcolor"], max_items=8)
+    protocol = "snapshot" if d.get("name", "zju-mocap") == "snapshot" else "zju"
+    evaluate_on(trainer, ds, tb, "test", cfg["random_bgcolor"], max_items=8,
+                protocol=protocol)
 
 
 def main():
@@ -164,20 +186,15 @@ def main():
     )
     logging.info("train frames: %d", len(dataset))
 
-    lpips_params = None
+    lpips_params, calibrated = None, False
     if tcfg["losses"]["lpips"]["coeff"] > 0:
-        lpips_params, calibrated = lpips_lib.init_lpips()
-        if not calibrated:
-            logging.warning(
-                "LPIPS running with a random VGG backbone (no pretrained "
-                "weights in this environment) — the loss is a usable "
-                "perceptual signal but values are not comparable to "
-                "published LPIPS numbers."
-            )
+        # best-available weights (calibrated trunk > reference heads >
+        # random); load_lpips logs the one calibration-status line
+        lpips_params, calibrated, _ = lpips_lib.load_lpips("vgg")
 
     trainer = Trainer(
         cfg, dataset.get_canonical_info(), lpips_params=lpips_params,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, lpips_calibrated=calibrated,
     )
     if args.resume:
         trainer.resume(ckpt_dir)
@@ -191,8 +208,17 @@ def main():
     rng = np.random.default_rng(0)
     t_last = time.perf_counter()
     dp = max(1, args.data_parallel)
+    balanced_Es = None
+    if tcfg.get("pose_balanced_sampling", False):
+        balanced_Es = dataset.get_all_Es()
+        logging.info("pose-balanced frame sampling ON (%d frames)", len(balanced_Es))
     while trainer.i_iter < total_iters:
-        order = rng.permutation(len(dataset))
+        if balanced_Es is not None:
+            from gomavatar_tpu.utils.sampling import balanced_order
+
+            order = balanced_order(balanced_Es, len(dataset), rng)
+        else:
+            order = rng.permutation(len(dataset))
         pending = []
         for item in Prefetcher(dataset, order=order):
             if trainer.i_iter >= total_iters:

@@ -28,7 +28,7 @@ import optax
 from gomavatar_tpu.config import make_cfg
 from gomavatar_tpu.trainer import Trainer
 from gomavatar_tpu.data.dataset import TrainDataset, to_device
-from gomavatar_tpu.eval_lib import Evaluator, to_8b_image
+from gomavatar_tpu.eval_lib import EvaluatorSnapshot, to_8b_image
 from gomavatar_tpu.losses import unpack
 from gomavatar_tpu.models.gom import gom_forward
 from gomavatar_tpu.models import lpips as lpips_lib
@@ -118,7 +118,7 @@ def main():
 
     lpips_params = None
     if cfg["train"]["losses"]["lpips"]["coeff"] > 0:
-        lpips_params, _ = lpips_lib.init_lpips()
+        lpips_params, _, _ = lpips_lib.load_lpips("vgg")
 
     n_pose_iters = int(cfg["pose"]["iters"])
     optimize = make_pose_optimizer(
@@ -129,7 +129,9 @@ def main():
     bg = jnp.asarray(np.asarray(cfg["bgcolor"], np.float32) / 255.0)
 
     def evaluate(tag, Rhs, Ths, poses_all):
-        evaluator = Evaluator()
+        # PeopleSnapshot protocol (reference train_pose.py:34 imports
+        # Evaluator_snapshot): gaussian-window SSIM + alex-LPIPS
+        evaluator = EvaluatorSnapshot()
         out_dir = os.path.join(cfg["save_dir"], "eval", "test_refine")
         os.makedirs(out_dir, exist_ok=True)
         for i in range(n):

@@ -173,6 +173,9 @@ DEFAULTS: dict = {
         "tb_freq": 100,
         "save_freq": 1000,
         "eval_freq": 50000,
+        # yaw-balanced frame sampling (utils/sampling.py; the reference's
+        # make_weights_for_pose_balance is dead code, train_util.py:71-96)
+        "pose_balanced_sampling": False,
     },
 }
 

@@ -82,6 +82,24 @@ def _load_image(path):
     return np.array(Image.open(path))
 
 
+class _ThreadSafeRng:
+    """Lock-guarded np.random.Generator: the Prefetcher worker pool calls
+    ``__getitem__`` from several threads and Generator state updates are not
+    thread-safe."""
+
+    def __init__(self, gen):
+        self._gen = gen
+        self._lock = threading.Lock()
+
+    def random(self, *a, **k):
+        with self._lock:
+            return self._gen.random(*a, **k)
+
+    def integers(self, *a, **k):
+        with self._lock:
+            return self._gen.integers(*a, **k)
+
+
 def _list_frames(image_dir):
     return sorted(
         os.path.splitext(f)[0] for f in os.listdir(image_dir) if f.endswith(".png")
@@ -184,7 +202,7 @@ class TrainDataset(_ArtifactsMixin):
         self.bgcolor = bgcolor
         self.target_size = target_size
         self.crop_size = tuple(crop_size)
-        self.rng = rng or np.random.default_rng()
+        self.rng = _ThreadSafeRng(rng or np.random.default_rng())
         self.resize_img_scale = (0.5, 0.5)
         self.prefetch = prefetch
         self._cache = {}
@@ -337,7 +355,7 @@ class ZJUTestDataset(_ArtifactsMixin):
         self._load_artifacts(dataset_path)
         self.raw_dataset_path = raw_dataset_path
         self.bgcolor = bgcolor
-        self.rng = rng or np.random.default_rng()
+        self.rng = _ThreadSafeRng(rng or np.random.default_rng())
         self.resize_img_scale = 0.5
         self.test_cameras = self._load_raw_cameras(exclude_view)
 
@@ -592,33 +610,83 @@ class _PrefetchError:
 
 
 class Prefetcher:
-    """Background-thread item loader: overlap host decode with device step.
+    """Multi-worker background item loader: overlap host decode with the
+    device step.
+
+    ``workers`` threads decode items concurrently (cv2/PIL/libpng release
+    the GIL, so threads scale for this workload) and the consumer receives
+    them IN ORDER — a pool is required to keep the chip fed: one cv2 decode
+    of a 1024x1024 frame is ~3x an 85 ms train step (BENCH_NOTES), so a
+    single worker caps end-to-end training at ~4 it/s.  ``depth`` bounds the
+    number of decoded-but-unconsumed items (memory backpressure).
 
     Worker exceptions are propagated to the consuming thread (re-raised from
-    ``__iter__``) instead of silently killing the worker and leaving the
-    consumer blocked on an empty queue forever."""
+    ``__iter__``) instead of silently killing a worker and leaving the
+    consumer blocked forever."""
 
-    def __init__(self, dataset, order=None, depth: int = 2):
+    def __init__(self, dataset, order=None, depth: int | None = None, workers: int | None = None):
         self.dataset = dataset
         self.order = list(order) if order is not None else list(range(len(dataset)))
-        self.q: queue.Queue = queue.Queue(maxsize=depth)
-        self.thread = threading.Thread(target=self._work, daemon=True)
-        self.thread.start()
+        if workers is None:
+            # decode threads only pay off with real cores: on a 1-core host
+            # extra workers just add GIL contention (measured 94 -> 216
+            # ms/item at 4 workers); cap at 4 — decode is I/O+C-library
+            # bound and 4 already hides an 85 ms device step
+            workers = min(4, os.cpu_count() or 1)
+        self.workers = max(1, min(workers, len(self.order) or 1))
+        self.depth = depth if depth is not None else 2 * self.workers
+        self._idx_q: queue.Queue = queue.Queue()
+        for pos, i in enumerate(self.order):
+            self._idx_q.put((pos, i))
+        self._results: dict[int, object] = {}
+        self._cv = threading.Condition()
+        self._next = 0  # next position the consumer will take
+        self._closed = False  # consumer gone (early break): workers drain out
+        self._threads = [
+            threading.Thread(target=self._work, daemon=True)
+            for _ in range(self.workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def _work(self):
-        try:
-            for i in self.order:
-                self.q.put(self.dataset[i])
-        except BaseException as exc:  # noqa: BLE001 - forwarded to consumer
-            self.q.put(_PrefetchError(exc))
-            return
-        self.q.put(None)
+        while True:
+            try:
+                pos, i = self._idx_q.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                item = self.dataset[i]
+            except BaseException as exc:  # noqa: BLE001 - forwarded to consumer
+                item = _PrefetchError(exc)
+            with self._cv:
+                # backpressure: don't run more than `depth` ahead of the consumer
+                while (
+                    pos - self._next >= self.depth
+                    and not isinstance(item, _PrefetchError)
+                    and not self._closed
+                ):
+                    self._cv.wait()
+                if self._closed:
+                    return
+                self._results[pos] = item
+                self._cv.notify_all()
 
     def __iter__(self):
-        while True:
-            item = self.q.get()
-            if item is None:
-                return
-            if isinstance(item, _PrefetchError):
-                raise RuntimeError("Prefetcher worker failed") from item.exc
-            yield item
+        try:
+            for pos in range(len(self.order)):
+                with self._cv:
+                    while pos not in self._results:
+                        self._cv.wait()
+                    item = self._results.pop(pos)
+                    self._next = pos + 1
+                    self._cv.notify_all()
+                if isinstance(item, _PrefetchError):
+                    raise RuntimeError("Prefetcher worker failed") from item.exc
+                yield item
+        finally:
+            # consumer done or broke out early: release any workers blocked
+            # in the backpressure wait so threads don't leak per epoch
+            with self._cv:
+                self._closed = True
+                self._cv.notify_all()

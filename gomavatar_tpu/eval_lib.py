@@ -31,7 +31,8 @@ def to_8b_image(img: np.ndarray) -> np.ndarray:
 class _EvaluatorBase:
     def __init__(self, lpips_params=None, lpips_calibrated=False):
         if lpips_params is None:
-            lpips_params, lpips_calibrated = lpips_lib.init_lpips()
+            # best-available weights; logs the calibration status once
+            lpips_params, lpips_calibrated, _ = lpips_lib.load_lpips("vgg")
         self.lpips_params = lpips_params
         self.lpips_calibrated = lpips_calibrated
         self.metrics: dict[str, list] = {}
@@ -78,7 +79,7 @@ class EvaluatorSnapshot(_EvaluatorBase):
 
     def __init__(self, lpips_params=None, lpips_calibrated=False):
         if lpips_params is None:
-            lpips_params, lpips_calibrated = lpips_lib.init_lpips_alex()
+            lpips_params, lpips_calibrated, _ = lpips_lib.load_lpips("alex")
         super().__init__(lpips_params, lpips_calibrated)
 
     def evaluate(self, rgb_pred: np.ndarray, rgb_gt: np.ndarray):

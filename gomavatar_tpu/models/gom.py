@@ -245,11 +245,27 @@ def render_frame_eval(
             (geom.mx0, geom.mx1, geom.my0, geom.my1, geom.valid_mesh),
         ),
     )
-    return render_frame_sorted(
+    outs = render_frame_sorted(
         table, bins, cfg.img_size,
         shading0=shading0,
         with_normal=with_normal, interpret=interpret,
     )
+    # Surface the static-budget overflow counters (ADVICE r2: the eval path
+    # used to discard them and silently drop tiles on over-budget frames).
+    # tile_overflow: entries beyond what the kernel can ingest per tile
+    # (nchunks is clamped to ncmax in ops/frame_render.py; worst-case head
+    # alignment wastes CHUNK-1 lanes).
+    from gomavatar_tpu.ops.splat.binning import CHUNK
+    from gomavatar_tpu.ops.frame_render import NCMAX
+
+    tel = bins.telemetry
+    aux = {
+        "binning": tel,
+        "tile_overflow": jnp.maximum(
+            tel.max_tile_entries - (NCMAX * CHUNK - (CHUNK - 1)), 0
+        ),
+    }
+    return outs + (aux,)
 
 
 def gom_forward(
@@ -347,10 +363,10 @@ def gom_forward(
         # z-buffer shading/normal selection (ops/geometry.py,
         # ops/frame_render.py).  No blur margin: eval has no soft-silhouette
         # pass, so the mesh bbox is the tight triangle bbox.
-        rgb, mask = render_frame_eval(
+        rgb, mask, aux = render_frame_eval(
             params, statics, cfg, verts_obs, colors, K, E
         )
-        return rgb, mask, {}
+        return rgb, mask, aux
 
     # Train/CPU path: shared union binning + separate custom-VJP kernels.
     from gomavatar_tpu.ops.fused_render import frame_union_bins
@@ -398,7 +414,7 @@ def gom_forward(
         shading = None
         rgb = albedo
 
-    aux: dict[str, Any] = {}
+    aux: dict[str, Any] = {"binning": bins.telemetry}
     if train:
         aux = {
             "colors": colors,

@@ -11,13 +11,12 @@ layers.  Two trunks:
   * AlexNet (relu1..5, pretrained_networks.py:56-92) — the PeopleSnapshot
     protocol metric (torchmetrics ``net_type="alex"``, eval.py:155).
 
-Weights:
-  * the 5 linear heads load from the reference's ``vgg.pth`` data file
-    (utils/lpips/weights/v0.1/vgg.pth, 7 KB) via :func:`load_torch_heads`;
-  * the VGG16 backbone (~528 MB, torchvision pretrained) is NOT shipped and
-    this environment has no network egress — :func:`load_torch_vgg16`
-    converts a user-supplied torchvision checkpoint; without one,
-    :func:`init_lpips` falls back to a fixed-seed random backbone.  Random
+Weights — :func:`load_lpips` picks the best available automatically:
+  * converted pretrained trunks (``weights/lpips_{vgg,alex}.npz``, written
+    once by tools/calibrate_lpips.py) -> fully CALIBRATED;
+  * the reference's 5 linear heads ship converted with this package
+    (``weights/lpips_vgg_heads.npz``, from utils/lpips/weights/v0.1/vgg.pth,
+    7 KB) and load by default onto a fixed-seed random trunk.  Random
     VGG features still give a usable perceptual-style training signal
     (random-projection metric) but LPIPS *values* are then NOT comparable
     with published numbers — eval marks them ``lpips_uncalibrated``.
@@ -44,9 +43,24 @@ converted checkpoint is bit-faithful without further validation.
 
 from __future__ import annotations
 
+import logging
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
+
+# Search path for converted weight artifacts (see tools/calibrate_lpips.py):
+#   lpips_{vgg,alex}.npz       — full calibrated trunk + heads
+#   lpips_vgg_heads.npz        — the reference's linear heads alone (7 KB,
+#                                converted from utils/lpips/weights/v0.1/vgg.pth
+#                                and shipped with this package)
+WEIGHTS_DIR = os.environ.get(
+    "GOMAVATAR_LPIPS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "weights"),
+)
 
 # VGG16 feature config: conv channel widths, 'M' = 2x2 max pool.
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
@@ -68,6 +82,81 @@ _ALEX_CONVS = [
     (256, 3, 1, 1, False),
 ]
 _ALEX_TAP_CHANNELS = [64, 192, 384, 256, 256]
+
+
+def save_npz(path: str, params) -> None:
+    """Persist LPIPS params as a flat npz (tools/calibrate_lpips.py output)."""
+    flat = {}
+    for i, c in enumerate(params["convs"]):
+        flat[f"conv_w_{i}"] = np.asarray(c["w"], np.float32)
+        flat[f"conv_b_{i}"] = np.asarray(c["b"], np.float32)
+    for i, h in enumerate(params["heads"]):
+        flat[f"head_{i}"] = np.asarray(h, np.float32)
+    if "alex" in params:
+        flat["alex"] = np.zeros(())
+    np.savez(path, **flat)
+
+
+def load_npz(path: str):
+    """Load a converted-trunk npz back into LPIPS params."""
+    z = np.load(path)
+    n_convs = sum(1 for k in z.files if k.startswith("conv_w_"))
+    params = {
+        "convs": [
+            {"w": jnp.asarray(z[f"conv_w_{i}"]), "b": jnp.asarray(z[f"conv_b_{i}"])}
+            for i in range(n_convs)
+        ],
+        "heads": [jnp.asarray(z[f"head_{i}"]) for i in range(5)],
+    }
+    if "alex" in z.files:
+        params = {"alex": (), **params}
+    return params
+
+
+_STATUS_LOGGED: set[str] = set()
+
+
+def load_lpips(trunk: str = "vgg", weights_dir: str | None = None, quiet: bool = False):
+    """Best-available LPIPS params for ``trunk`` ("vgg" | "alex").
+
+    Preference order:
+      1. ``<weights_dir>/lpips_<trunk>.npz`` — converted pretrained trunk +
+         heads (tools/calibrate_lpips.py) -> fully calibrated;
+      2. vgg only: packaged reference heads (lpips_vgg_heads.npz, converted
+         from utils/lpips/weights/v0.1/vgg.pth) on the fixed-seed random
+         trunk -> real head weighting, values still NOT comparable to
+         published LPIPS numbers (random features);
+      3. fixed-seed random trunk + uniform heads.
+
+    Returns ``(params, calibrated, status)`` and logs the status line once
+    per trunk (VERDICT r2 item 2: calibration must be a loud, first-class
+    switch).
+    """
+    wdir = weights_dir or WEIGHTS_DIR
+    full = os.path.join(wdir, f"lpips_{trunk}.npz")
+    if os.path.exists(full):
+        params = load_npz(full)
+        out = params, True, f"lpips[{trunk}]: CALIBRATED (converted trunk {full})"
+    elif trunk == "vgg" and os.path.exists(os.path.join(wdir, "lpips_vgg_heads.npz")):
+        z = np.load(os.path.join(wdir, "lpips_vgg_heads.npz"))
+        heads = [z[f"head_{i}"] for i in range(5)]
+        params, _ = init_lpips(heads=heads)
+        out = params, False, (
+            "lpips[vgg]: UNCALIBRATED — reference linear heads "
+            "(utils/lpips/weights/v0.1/vgg.pth) on a fixed-seed random "
+            "trunk; run tools/calibrate_lpips.py for published-comparable "
+            "values"
+        )
+    else:
+        params, _ = init_lpips_alex() if trunk == "alex" else init_lpips()
+        out = params, False, (
+            f"lpips[{trunk}]: UNCALIBRATED — fixed-seed random trunk + "
+            "uniform heads; run tools/calibrate_lpips.py"
+        )
+    if not quiet and trunk not in _STATUS_LOGGED:
+        _STATUS_LOGGED.add(trunk)
+        (log.info if out[1] else log.warning)("%s", out[2])
+    return out
 
 
 def init_lpips(key: jax.Array | None = None, heads: list[np.ndarray] | None = None):

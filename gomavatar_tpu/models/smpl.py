@@ -114,10 +114,6 @@ def synthetic_body(
         for a in angles:
             verts.append([prof[r_i] * np.cos(a), y, prof[r_i] * np.sin(a)])
     verts = np.asarray(verts, np.float64)
-    # cap centers
-    top_c = len(verts)
-    verts = np.vstack([verts, [[0, ys[-1] + 0.03, 0]], [[0, ys[0] - 0.03, 0]]])
-    bot_c = top_c + 1
 
     faces = []
     for r in range(n_rings - 1):
@@ -128,10 +124,50 @@ def synthetic_body(
             d = (r + 1) * n_seg + (s + 1) % n_seg
             faces.append([a, b, c])
             faces.append([b, d, c])
-    last = (n_rings - 1) * n_seg
-    for s in range(n_seg):
-        faces.append([last + s, last + (s + 1) % n_seg, top_c])
-        faces.append([(s + 1) % n_seg, s, bot_c])
+
+    # Rounded multi-ring caps: shrink the radius over CAP_RINGS extra rings
+    # before the pole fan.  A single ring-to-pole fan produces n_seg/2pi
+    # aspect-ratio sliver triangles whose Steiner CIRCUMellipse (the splat
+    # covariance, models/model.py:27-41) is ~5x their bbox — at high n_seg
+    # those splats cover 60-100 image tiles and blow the static binning
+    # budgets that SMPL-shaped meshes never approach.
+    CAP_RINGS = 3
+    verts_list = [verts]
+    n_base = len(verts)
+
+    def _add_cap(end_ring_start, y_end, r_end, direction):
+        nonlocal n_base
+        prev = [end_ring_start + s for s in range(n_seg)]
+        for k in range(1, CAP_RINGS + 1):
+            frac = k / (CAP_RINGS + 1.0)
+            rk = r_end * (1.0 - frac)
+            yk = y_end + direction * 0.035 * np.sin(frac * np.pi / 2)
+            ring = [[rk * np.cos(a), yk, rk * np.sin(a)] for a in angles]
+            verts_list.append(np.asarray(ring))
+            cur = [n_base + s for s in range(n_seg)]
+            n_base += n_seg
+            for s in range(n_seg):
+                a0, b0 = prev[s], prev[(s + 1) % n_seg]
+                c0, d0 = cur[s], cur[(s + 1) % n_seg]
+                if direction > 0:
+                    faces.append([a0, b0, c0])
+                    faces.append([b0, d0, c0])
+                else:
+                    faces.append([b0, a0, c0])
+                    faces.append([d0, b0, c0])
+            prev = cur
+        verts_list.append(np.asarray([[0.0, y_end + direction * 0.04, 0.0]]))
+        pole = n_base
+        n_base += 1
+        for s in range(n_seg):
+            if direction > 0:
+                faces.append([prev[s], prev[(s + 1) % n_seg], pole])
+            else:
+                faces.append([prev[(s + 1) % n_seg], prev[s], pole])
+
+    _add_cap((n_rings - 1) * n_seg, ys[-1], prof[-1], +1.0)
+    _add_cap(0, ys[0], prof[0], -1.0)
+    verts = np.vstack(verts_list)
     faces = np.asarray(faces, np.int64)
 
     # 24 joints: root at pelvis (0), chain roughly following SMPL topology

@@ -55,6 +55,9 @@ P = TILE * TILE
 _BIG = 1e10
 
 
+NCMAX = 64  # max CHUNK-sized entry chunks a tile sweep ingests (segments
+# beyond NCMAX*CHUNK entries are clamped; binning telemetry detects it)
+
 GROUP = 4  # tile slots per kernel program (amortizes ~1.4 us/program of
 # grid/pipeline overhead measured on the v5e across 4 sweeps)
 
@@ -229,7 +232,7 @@ def _frame_tile(
 )
 def _frame_call(
     entries, active_id, seg_start, seg_count, n_active,
-    num_tiles_x, num_tiles_y, ncmax=64, with_mesh=True,
+    num_tiles_x, num_tiles_y, ncmax=NCMAX, with_mesh=True,
     interpret=False,
 ):
     A = active_id.shape[0]
@@ -279,7 +282,7 @@ def render_frame_sorted(
     shading0: jax.Array | None = None,  # shading of the zero normal (no-hit
     # pixels); None disables the shading multiply (albedo passthrough)
     with_normal: bool = False,
-    ncmax: int = 64,
+    ncmax: int = NCMAX,
     interpret: bool = False,
 ):
     """Render the frame: returns (rgb (H,W,3), alpha (H,W)) and, with

@@ -28,8 +28,18 @@ SMPL_PARENT = np.array(
     dtype=np.int32,
 )
 
+# 55-joint SMPL-X chain: body (22) + jaw/eyes (22-24) + 15 finger joints per
+# hand rooted at the wrists (20/21).  Matches the reference's dict table
+# (utils/body_util.py:99-105; its root entry is -1, ours keeps the
+# PARENT[0]-unused convention above).
 SMPLX_PARENT = np.array(
-    [0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19],
+    [
+        0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17,
+        18, 19,                      # body
+        15, 15, 15,                  # jaw, left eye, right eye
+        20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,  # left hand
+        21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53,  # right hand
+    ],
     dtype=np.int32,
 )
 

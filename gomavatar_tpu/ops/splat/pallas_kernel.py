@@ -96,8 +96,11 @@ def _lane_cumsum(x, fast: bool = False):
     cum[p, j] = sum_i x[p, i] * [i <= j].  Pallas TPU has no cumsum
     primitive; a [256,128]x[128,128] triangular matmul is ~free on the MXU.
     ``fast`` uses the 3-term bf16 split (~2^-24 relative, half the MXU
-    passes of HIGHEST) — the forward-only fused kernel's mode; the
-    custom-VJP train kernels keep HIGHEST for bit-stable gradients."""
+    passes of HIGHEST).  Both the forward-only fused kernel AND the
+    custom-VJP train kernels run fast=True (+ _dot_mixed, ~2^-16 relative):
+    train gradients are accurate to ~1e-4 relative, asserted against the
+    jnp reference by check_grads in tests/test_splat.py — bit-stability vs
+    HIGHEST is NOT part of the contract."""
     n = x.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)

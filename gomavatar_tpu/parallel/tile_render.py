@@ -47,7 +47,7 @@ def make_tile_parallel_render(
     with the same outputs as the single-chip fused path.  ``interpret`` runs
     the Pallas kernel in interpreter mode (CPU-mesh tests)."""
     from gomavatar_tpu.ops.geometry import frame_geometry
-    from gomavatar_tpu.ops.splat.binning import bin_sorted
+    from gomavatar_tpu.ops.splat.binning import bin_sorted, TILE
     from gomavatar_tpu.ops.frame_render import _frame_call
     from gomavatar_tpu.models.modules import shadow_apply
 
@@ -96,7 +96,7 @@ def make_tile_parallel_render(
         n_local = jnp.clip(n_active - d * local, 0, local)
         outs = _frame_call(
             entries, active_id, seg_start, seg_count, n_local,
-            cfg.img_size[0] // 16, cfg.img_size[1] // 16,
+            cfg.img_size[0] // TILE, cfg.img_size[1] // TILE,
             with_mesh=with_mesh, interpret=interpret,
         )
         # gather compact outputs back to every device (slot order preserved)
@@ -118,7 +118,7 @@ def make_tile_parallel_render(
         )
         # untile exactly like render_frame_sorted
         W, H = cfg.img_size
-        TX, TY = W // 16, H // 16
+        TX, TY = W // TILE, H // TILE
         sh0 = None
         if with_shadow:
             sh_cfg = cfg.module_cfg("shadow")
@@ -131,7 +131,7 @@ def make_tile_parallel_render(
                 [compact, jnp.zeros((1,) + compact.shape[1:], compact.dtype)], axis=0
             )[bins.pos_of_tile]
             return (
-                full.reshape(TY, TX, c, 16, 16)
+                full.reshape(TY, TX, c, TILE, TILE)
                 .transpose(0, 3, 1, 4, 2)
                 .reshape(H, W, c)
             )

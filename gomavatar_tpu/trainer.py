@@ -95,11 +95,12 @@ class Trainer:
 
     def __init__(
         self, cfg, canonical_info: dict, lpips_params=None, seed: int = 0,
-        data_parallel: int = 1,
+        data_parallel: int = 1, lpips_calibrated: bool = False,
     ):
         self.cfg = cfg
         self.loss_cfg = cfg["train"]["losses"]
         self.lpips_params = lpips_params
+        self.lpips_calibrated = lpips_calibrated
         self.subdivide_iters = sorted(cfg["model"].get("subdivide_iters", []))
         self.phase = 0
         self.data_parallel = int(data_parallel)

@@ -80,6 +80,37 @@ class TBLogger:
             f = torch.from_numpy(np.asarray(faces, np.int64))[None]
         self.writer.add_mesh(tag, v, colors=c, faces=f, global_step=self.global_step)
 
+    def summ_feat(self, tag: str, feat):
+        """PCA-to-RGB feature-map visualization (reference
+        utils/tb_util.py:85-100).  feat: (C, H, W); projected to its top-3
+        principal components (plain SVD — no sklearn dependency) and
+        min-max normalized."""
+        if not self._on or self.only_scalar:
+            return
+        feat = np.asarray(feat, np.float32)
+        C, H, W = feat.shape
+        x = feat.transpose(1, 2, 0).reshape(-1, C)
+        x = x - x.mean(axis=0)
+        # PCA via SVD of the centered data (components = right singular vecs)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        rgb = (x @ vt[:3].T).reshape(H, W, 3)
+        rgb = (rgb - rgb.min()) / max(rgb.max() - rgb.min(), 1e-12)
+        self.writer.add_image(tag, rgb.transpose(2, 0, 1), self.global_step)
+
+    def summ_pointcloud2d(self, tag: str, pts, img_size):
+        """Rasterize 2D points into a binary image (reference
+        utils/tb_util.py:126-135).  pts: (N, 2) pixel xy; img_size (W, H)."""
+        if not self._on or self.only_scalar:
+            return
+        W, H = img_size
+        img = np.zeros((H, W), np.float32)
+        pts = np.asarray(pts)
+        x = np.round(pts[:, 0]).astype(np.int64)
+        y = np.round(pts[:, 1]).astype(np.int64)
+        keep = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+        img[y[keep], x[keep]] = 1.0
+        self.writer.add_image(tag, img[None], self.global_step)
+
     def summ_error_map(self, tag: str, pred, gt):
         if not self._on or self.only_scalar:
             return

@@ -152,3 +152,23 @@ def test_train_cli_data_parallel(workspace):
         "--data_parallel", "2", "--max_iters", "2",
     )
     assert r.returncode == 0, r.stderr[-3000:]
+
+
+def test_pose_refine_to_eval_roundtrip(workspace):
+    """train_pose -> eval --pose_path chain (the reference's pose.pt
+    re-consumption workflow, train_pose.py:290-296 + eval.py:31-77)."""
+    r = run_cli(
+        "gomavatar_tpu.cli.train_pose", "--cfg", workspace["cfg_path"], "--max_frames", "3"
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pose_path = str(workspace["root"] / "log" / "cli_smoke" / "checkpoints" / "pose.pkl")
+    r = run_cli(
+        "gomavatar_tpu.cli.evaluate", "--cfg", workspace["cfg_path"],
+        "--type", "view", "--pose_path", pose_path,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = (workspace["root"] / "log" / "cli_smoke" / "log_eval_view.txt").read_text()
+    assert "using refined poses" in log
+    assert "metrics:" in log
+    # snapshot protocol + budget summary lines present
+    assert "render budgets" in log or "RENDER BUDGET" in log

@@ -153,3 +153,77 @@ def test_newpose_dataset(data_dir, tmp_path):
     assert np.abs(item["dst_poses"][:3]).max() < 1e-6
     # synthetic camera at radius 8 looks at the subject
     assert np.isfinite(item["E"]).all()
+
+
+def test_prefetcher_pool_preserves_order_and_backpressure():
+    """Multi-worker pool must emit items in submission order even when
+    early items decode slower than late ones."""
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            time.sleep(0.02 if i % 3 == 0 else 0.001)
+            return {"i": i}
+
+    order = [7, 2, 9, 0, 5, 1, 11, 3]
+    got = [it["i"] for it in Prefetcher(Slow(), order=order, workers=4, depth=3)]
+    assert got == order
+
+
+def test_prefetcher_pool_propagates_errors_with_workers():
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("decode failed")
+            return {"i": i}
+
+    it = iter(Prefetcher(Boom(), workers=4))
+    out = []
+    with pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        for item in it:
+            out.append(item["i"])
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_dataset_threaded_getitem_race_free(data_dir):
+    """Concurrent __getitem__ through the pool must not corrupt the shared
+    RNG (random bgcolor path) — smoke for the _ThreadSafeRng guard."""
+    ds = TrainDataset(data_dir, bgcolor=None)  # random bg per item
+    items = list(Prefetcher(ds, order=list(range(4)) * 8, workers=8))
+    assert len(items) == 32
+    for it in items:
+        assert np.isfinite(it["bgcolor"]).all()
+        assert (it["bgcolor"] >= 0).all() and (it["bgcolor"] <= 255).all()
+
+
+def test_prefetcher_early_break_releases_workers():
+    """Breaking out of iteration mid-epoch (cli/train.py hits total_iters)
+    must unblock backpressured workers instead of leaking them."""
+    import threading
+    import time
+
+    class Slow:
+        def __len__(self):
+            return 50
+
+        def __getitem__(self, i):
+            time.sleep(0.002)
+            return {"i": i}
+
+    before = threading.active_count()
+    pf = Prefetcher(Slow(), workers=4, depth=2)
+    for item in pf:
+        if item["i"] == 3:
+            break
+    for _ in range(100):
+        if all(not t.is_alive() for t in pf._threads):
+            break
+        time.sleep(0.02)
+    assert all(not t.is_alive() for t in pf._threads)
+    assert threading.active_count() <= before + 1

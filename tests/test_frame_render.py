@@ -201,7 +201,7 @@ def test_fused_eval_matches_unfused(shadow):
         params, statics, gom_cfg, verts_obs, colors, batch["K"], batch["E"],
         blur_margin_px, with_normal=True, interpret=True,
     )
-    rgb, mask, normal, hard = out
+    rgb, mask, normal, hard, _aux = out
 
     atol = 2e-2 if shadow else 2e-4  # bf16 MLP reassociation vs f32-only
     np.testing.assert_allclose(np.asarray(mask), np.asarray(mask_ref), atol=2e-4)
@@ -223,7 +223,7 @@ def test_fused_eval_normal_map_matches_mesh_raster():
     normals_cam = normals @ batch["E"][:3, :3].T
 
     blur_margin_px = (np_log_blur(gom_cfg.normal_renderer_sigma) ** 0.5) / (2.0 / min(IMG)) + 1.0
-    _, _, normal, hard = render_frame_eval(
+    _, _, normal, hard, _ = render_frame_eval(
         params, statics, gom_cfg, verts_obs, colors, batch["K"], batch["E"],
         blur_margin_px, with_normal=True, interpret=True,
     )

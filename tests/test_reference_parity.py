@@ -266,3 +266,25 @@ def test_smpl_forward_matches_reference(tmp_path, rng):
     v0, j0 = ours(np.zeros(72), np.zeros(10))
     np.testing.assert_allclose(v0, v0_ref, atol=1e-6)
     np.testing.assert_allclose(j0, j0_ref, atol=1e-6)
+
+
+def test_smplx_parent_table_matches_reference():
+    """Our 55-joint SMPL-X parent array == the reference's dict
+    (utils/body_util.py:99-105; root -1 -> our PARENT[0]-unused 0)."""
+    ref = dict(ref_body.SMPLX_PARENT)
+    assert len(sk.SMPLX_PARENT) == len(ref) == 55
+    for j in range(1, 55):
+        assert int(sk.SMPLX_PARENT[j]) == ref[j], f"joint {j}"
+    assert ref[0] == -1 and int(sk.SMPLX_PARENT[0]) == 0
+
+
+def test_smplx_fk_runs_on_55_joints(rng):
+    """The FK/LBS stack accepts the 55-joint chain (use_smplx=True)."""
+    tpose = rng.normal(size=(55, 3)).astype(np.float32) * 0.3
+    jang = rng.normal(size=(55 * 3,)).astype(np.float32) * 0.3
+    Rs, Ts = sk.body_pose_to_body_RTs(jnp.asarray(jang), jnp.asarray(tpose), use_smplx=True)
+    assert Rs.shape == (55, 3, 3) and Ts.shape == (55, 3)
+    # cross-check against the reference numpy implementation
+    ref_Rs, ref_Ts = ref_body.body_pose_to_body_RTs(jang, tpose, use_smplx=True)
+    np.testing.assert_allclose(np.asarray(Rs), ref_Rs.reshape(55, 3, 3), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(Ts), ref_Ts, atol=5e-5)

@@ -24,7 +24,7 @@ def test_tile_parallel_matches_single_chip():
     verts_obs = _verts_obs(params, statics, batch, gom_cfg)
     colors = params["appearance"]["colors"]
 
-    ref_rgb, ref_alpha = render_frame_eval(
+    ref_rgb, ref_alpha, _ = render_frame_eval(
         params, statics, gom_cfg, verts_obs, colors, batch["K"], batch["E"],
         interpret=True,
     )

@@ -38,7 +38,7 @@ def main():
 
     for use_lpips, label in [(False, "no-LPIPS"), (True, "with-LPIPS")]:
         loss_cfg["lpips"]["coeff"] = 1.0 if use_lpips else 0.0
-        lp = lpips_lib.init_lpips()[0] if use_lpips else None
+        lp = lpips_lib.load_lpips("vgg")[0] if use_lpips else None
         step = make_train_step(gom_cfg, loss_cfg, tx)
         p, o, total, _ = step(params, opt_state, statics, lp, batch, jnp.float32(0.0))
         jax.block_until_ready(p)
