@@ -336,8 +336,14 @@ def lpips(params, pred: jax.Array, gt: jax.Array, bf16: bool = True) -> jax.Arra
     f_g = features(params, gt, bf16)
     total = 0.0
     for fp, fg, head in zip(f_p, f_g, params["heads"]):
-        np_ = fp / (jnp.linalg.norm(fp, axis=-1, keepdims=True) + 1e-10)
-        ng_ = fg / (jnp.linalg.norm(fg, axis=-1, keepdims=True) + 1e-10)
+        # grad-safe unit-normalize: x * rsqrt(sum x^2 + eps^2).  The obvious
+        # x / (||x|| + eps) matches the reference numerically but its
+        # gradient is NaN at x == 0 (d||x||/dx = x/||x|| is 0/0) — and
+        # exactly-zero post-ReLU feature vectors DO occur on constant
+        # (background) regions, which silently poisoned every parameter
+        # touched by the LPIPS term's backward pass.
+        np_ = fp * jax.lax.rsqrt(jnp.sum(fp * fp, axis=-1, keepdims=True) + 1e-20)
+        ng_ = fg * jax.lax.rsqrt(jnp.sum(fg * fg, axis=-1, keepdims=True) + 1e-20)
         d = (np_ - ng_) ** 2  # (h, w, c)
         w = jnp.maximum(head[:, 0], 0.0)
         total = total + jnp.mean(jnp.sum(d * w, axis=-1))

@@ -279,3 +279,23 @@ def test_lpips_params_are_jittable():
     f = jax.jit(lpips_fn)
     for params, _ in (init_lpips(), init_lpips_alex()):
         assert np.isfinite(float(f(params, img_a, img_b)))
+
+
+def test_lpips_grad_finite_on_zero_features():
+    """Regression: exactly-zero post-ReLU feature vectors (constant /
+    background image regions) must not produce NaN gradients.  Found the
+    hard way — x / (||x|| + eps) has a NaN gradient at x == 0, and one such
+    pixel poisoned every parameter reached by the LPIPS backward pass in the
+    e2e training run."""
+    params, _ = init_lpips()
+    # zero first-conv weights + negative bias => ReLU output is EXACTLY zero
+    # everywhere, and stays zero through all later taps
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    c0 = params["convs"][0]
+    params["convs"][0] = {"w": jnp.zeros_like(c0["w"]), "b": jnp.full_like(c0["b"], -1.0)}
+    a = jnp.full((32, 32, 3), 0.25, jnp.float32)
+    b = jnp.zeros((32, 32, 3), jnp.float32)
+    val = float(lpips(params, a, b, bf16=False))
+    assert np.isfinite(val)
+    g = jax.grad(lambda x: lpips(params, x, b, bf16=False))(a)
+    assert np.all(np.isfinite(np.asarray(g))), "NaN grad through zero feature vectors"
