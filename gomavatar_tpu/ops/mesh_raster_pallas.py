@@ -31,12 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gomavatar_tpu.ops.splat.binning import TILE, CHUNK
+from gomavatar_tpu.ops.splat.binning import TILE, CHUNK, written_slot_mask
 from gomavatar_tpu.ops.splat.pallas_kernel import _dot_split3, _pixel_coords
 
 P = TILE * TILE
 _BIG = 1e10
 NCH = 16
+NCMAX = 64  # max chunks a tile program ingests (fwd truncates, bwd writes)
 
 
 def _bary(chunk, px, py):
@@ -272,12 +273,12 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax")
 )
-def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=64):
+def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=NCMAX):
     T = num_tiles_x * num_tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -303,18 +304,18 @@ def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, s
 @functools.partial(
     jax.jit, static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax")
 )
-def _bwd_call(entries, tile_start, tile_count, g_hard_t, g_soft_t, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=64):
+def _bwd_call(entries, tile_start, tile_count, g_hard_t, g_soft_t, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=NCMAX):
     T = num_tiles_x * num_tiles_y
     Dp = entries.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
             pltpu.VMEM((NCH, CHUNK), jnp.float32),
@@ -383,7 +384,12 @@ def _mesh_bwd(num_tiles_x, num_tiles_y, soft, sigma_px2, residuals, g):
         entries, tile_start, tile_count, g_hard_t, g_soft_t,
         num_tiles_x, num_tiles_y, soft, sigma_px2,
     )
-    d_entries = d_entries * entry_valid[None, :]
+    # SELECT (never multiply): unwritten output slots hold stale HBM bytes
+    # that can decode as NaN, and 0 * NaN = NaN (see splat _composite_bwd).
+    written = written_slot_mask(
+        tile_start, tile_count, entries.shape[1], ncmax=NCMAX
+    )
+    d_entries = jnp.where((entry_valid * written)[None, :] > 0, d_entries, 0.0)
     ft0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_entries, jnp.zeros_like(entry_valid), ft0(tile_start), ft0(tile_count))
 

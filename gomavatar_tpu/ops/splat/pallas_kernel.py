@@ -31,11 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gomavatar_tpu.ops.splat.binning import TILE, CHUNK
+from gomavatar_tpu.ops.splat.binning import TILE, CHUNK, written_slot_mask
 from gomavatar_tpu.ops.splat.reference import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 P = TILE * TILE  # pixels per tile
 _NEG_INF = -1e30
+NCMAX = 64  # max chunks a tile program ingests (fwd truncates, bwd writes)
 
 
 def _pixel_coords(t, num_tiles_x):
@@ -382,13 +383,13 @@ def pack_gaussian_channels(mean2d, conic, opacity, colors):
 
 
 @functools.partial(jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax"))
-def _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y, ncmax=64):
+def _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y, ncmax=NCMAX):
     NCH, Dp = entries.shape
     T = num_tiles_x * num_tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, C, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -410,18 +411,18 @@ def _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y, ncma
 
 
 @functools.partial(jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax"))
-def _bwd_call(entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tiles_x, num_tiles_y, ncmax=64):
+def _bwd_call(entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tiles_x, num_tiles_y, ncmax=NCMAX):
     NCH, Dp = entries.shape
     T = num_tiles_x * num_tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
             pltpu.VMEM((NCH, CHUNK), jnp.float32),
@@ -506,7 +507,19 @@ def _composite_bwd(C, num_tiles_x, num_tiles_y, residuals, g):
     d_entries = _bwd_call(
         entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tiles_x, num_tiles_y
     )
-    d_entries = d_entries * entry_valid[None, :]
+    # SELECT (never multiply): slots no tile program writes hold stale HBM
+    # bytes that can decode as NaN, and 0 * NaN = NaN.  The mask must also
+    # exclude written-region *padding* entries (entry_valid == 0), whose
+    # gradients would otherwise scatter into gaussian 0 via the pack gather's
+    # transpose.  Rows >= 6+C are alignment padding the kernel's dchunk
+    # scratch never initializes — uninitialized VMEM, masked likewise.
+    written = written_slot_mask(
+        tile_start, tile_count, entries.shape[1], ncmax=NCMAX
+    )
+    row_real = (jnp.arange(entries.shape[0]) < 6 + C)[:, None]
+    d_entries = jnp.where(
+        row_real & ((entry_valid * written)[None, :] > 0), d_entries, 0.0
+    )
     ft0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_entries, jnp.zeros_like(entry_valid), ft0(tile_start), ft0(tile_count))
 

@@ -72,9 +72,17 @@ def make_train_step(gom_cfg: GoMConfig, loss_cfg: dict, tx: optax.GradientTransf
             # in the train log / TB; nonzero = renders silently degraded)
             tel = aux.get("binning")
             if tel is not None:
+                from gomavatar_tpu.ops.splat.binning import CHUNK
+                from gomavatar_tpu.ops.splat.pallas_kernel import NCMAX
+
                 losses = dict(losses)
                 losses["bin_drop_budget"] = tel.dropped_budget
                 losses["bin_drop_buffer"] = tel.dropped_buffer
+                # entries beyond the per-tile chunk cap of the train kernels:
+                # the forward truncates them (content loss), so surface it
+                losses["bin_drop_ncmax"] = jnp.maximum(
+                    tel.max_tile_entries - NCMAX * CHUNK, 0
+                )
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -173,12 +181,14 @@ class Trainer:
             jnp.asarray(self.i_iter, jnp.float32),
         )
         if _DEBUG_BINNING:
-            dropped = int(losses.get("bin_drop_budget", 0)) + int(
-                losses.get("bin_drop_buffer", 0)
+            dropped = (
+                int(losses.get("bin_drop_budget", 0))
+                + int(losses.get("bin_drop_buffer", 0))
+                + int(losses.get("bin_drop_ncmax", 0))
             )
             assert dropped == 0, (
                 f"binning dropped {dropped} entries at iter {self.i_iter} — "
-                f"raise max_tiles_per_gaussian / buffer_factor "
+                f"raise max_tiles_per_gaussian / buffer_factor / kernel NCMAX "
                 f"(GOMAVATAR_DEBUG_BINNING=1 makes this fatal)"
             )
         self.i_iter += 1
