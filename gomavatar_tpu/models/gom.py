@@ -91,6 +91,11 @@ class GoMConfig:
     # fused eval renderer: static cap on non-empty tiles (a 512^2 body view
     # covers ~200 of 1024; overflow is counted in the binning telemetry)
     active_tile_cap: int = 512
+    # two-band binning (ops/splat/binning.py:bin_sorted): every face gets
+    # binning_band0 tile slots; faces covering more tiles share an overflow
+    # band of max(F // 8, 2048) slots x (max_tiles_per_gaussian - band0).
+    # ~2.9x fewer sort keys at flagship occupancy; None = single-band.
+    binning_band0: int | None = 4
 
     @staticmethod
     def from_model_cfg(model_cfg: dict, num_vertices: int, num_faces: int) -> "GoMConfig":
@@ -244,6 +249,8 @@ def render_frame_eval(
             (geom.sx0, geom.sx1, geom.sy0, geom.sy1, geom.valid_splat),
             (geom.mx0, geom.mx1, geom.my0, geom.my1, geom.valid_mesh),
         ),
+        band0=cfg.binning_band0,
+        overflow_cap=max(statics.faces.shape[0] // 8, 2048),
     )
     outs = render_frame_sorted(
         table, bins, cfg.img_size,

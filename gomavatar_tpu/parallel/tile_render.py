@@ -79,6 +79,8 @@ def make_tile_parallel_render(
                 (geom.sx0, geom.sx1, geom.sy0, geom.sy1, geom.valid_splat),
                 (geom.mx0, geom.mx1, geom.my0, geom.my1, geom.valid_mesh),
             ),
+            band0=cfg.binning_band0,
+            overflow_cap=max(statics.faces.shape[0] // 8, 2048),
         )
         entries = table[bins.order].T
         entries = entries.at[5].multiply(bins.entry_splat)

@@ -256,3 +256,87 @@ def test_binning_telemetry_counts_active_overflow():
     )
     assert int(bins.n_active) > 2
     assert int(bins.telemetry.dropped_buffer) > 0  # active-cap drops counted
+
+
+def _random_boxes(seed, N=400, r_max=9.0):
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(-10, 74, N).astype(np.float32)
+    cy = rng.uniform(-10, 74, N).astype(np.float32)
+    r = rng.uniform(0.5, r_max, N).astype(np.float32)
+    depth = rng.uniform(0.5, 5, N).astype(np.float32)
+    valid = rng.random(N) > 0.1
+    return (jnp.asarray(cx - r), jnp.asarray(cx + r), jnp.asarray(cy - r),
+            jnp.asarray(cy + r), jnp.asarray(depth), jnp.asarray(valid))
+
+
+def test_two_band_binning_is_bit_identical_when_cap_suffices():
+    from gomavatar_tpu.ops.splat.binning import bin_sorted
+
+    args = _random_boxes(2)
+    kw = dict(max_tiles_per_primitive=16, buffer_factor=8, active_cap=16)
+    one = bin_sorted(*args, IMG, **kw, band0=None)
+    two = bin_sorted(*args, IMG, **kw, band0=4, overflow_cap=args[0].shape[0])
+    # segment layout identical (the sorted REAL-entry prefix is unique;
+    # only the never-read sentinel tail of `order` may differ)
+    for field in ("active_id", "seg_start", "seg_count", "pos_of_tile", "n_active"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, field)), np.asarray(getattr(two, field)),
+            err_msg=field,
+        )
+    _assert_segments_equal(one, two)
+    for field in one.telemetry._fields:
+        assert int(getattr(one.telemetry, field)) == int(
+            getattr(two.telemetry, field)
+        ), field
+
+
+def _assert_segments_equal(one, two, flags=False):
+    st, ct = np.asarray(one.seg_start), np.asarray(one.seg_count)
+    o1, o2 = np.asarray(one.order), np.asarray(two.order)
+    for p in range(st.shape[0]):
+        s, c = st[p], ct[p]
+        np.testing.assert_array_equal(o1[s : s + c], o2[s : s + c], err_msg=f"slot {p}")
+        if flags:
+            for f in ("entry_splat", "entry_mesh"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(one, f))[s : s + c],
+                    np.asarray(getattr(two, f))[s : s + c],
+                    err_msg=f"slot {p} {f}",
+                )
+
+
+def test_two_band_binning_flag_boxes_identical():
+    from gomavatar_tpu.ops.splat.binning import bin_sorted
+
+    bx0, bx1, by0, by1, depth, valid = _random_boxes(3)
+    # two sub-boxes whose union is the outer box (splat shrunk, mesh shifted)
+    sbox = (bx0, bx1 - 3.0, by0, by1, valid)
+    mbox = (bx0 + 2.0, bx1, by0, by1, valid)
+    kw = dict(max_tiles_per_primitive=16, buffer_factor=8, active_cap=16,
+              flag_boxes=(sbox, mbox))
+    one = bin_sorted(bx0, bx1, by0, by1, depth, valid, IMG, **kw, band0=None)
+    two = bin_sorted(bx0, bx1, by0, by1, depth, valid, IMG, **kw, band0=4,
+                     overflow_cap=bx0.shape[0])
+    for field in ("seg_start", "seg_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, field)), np.asarray(getattr(two, field)),
+            err_msg=field,
+        )
+    _assert_segments_equal(one, two, flags=True)
+
+
+def test_two_band_binning_counts_overflow_cap_drops():
+    from gomavatar_tpu.ops.splat.binning import bin_sorted
+
+    args = _random_boxes(4, r_max=30.0)  # many primitives cover > 4 tiles
+    kw = dict(max_tiles_per_primitive=16, buffer_factor=8, active_cap=16)
+    full = bin_sorted(*args, IMG, **kw, band0=4, overflow_cap=args[0].shape[0])
+    capped = bin_sorted(*args, IMG, **kw, band0=4, overflow_cap=1)
+    n_cover_gt4_prims = int(full.telemetry.truncated_prims)
+    lost = int(capped.telemetry.dropped_budget) - int(full.telemetry.dropped_budget)
+    trimmed = int(capped.telemetry.truncated_prims) - n_cover_gt4_prims
+    # the capped run must report every overflow primitive beyond slot 1 as
+    # trimmed, with a positive per-primitive tile loss
+    assert trimmed > 0 and lost >= trimmed
+    # entries on band-A tiles (first 4 per primitive) are still all present
+    assert int(capped.n_active) > 0
