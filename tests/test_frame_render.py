@@ -340,3 +340,22 @@ def test_two_band_binning_counts_overflow_cap_drops():
     assert trimmed > 0 and lost >= trimmed
     # entries on band-A tiles (first 4 per primitive) are still all present
     assert int(capped.n_active) > 0
+
+
+def test_two_band_bin_bboxes_identical_when_cap_suffices():
+    from gomavatar_tpu.ops.splat.binning import bin_bboxes
+
+    args = _random_boxes(5)
+    kw = dict(max_tiles_per_primitive=16, buffer_factor=8)
+    one = bin_bboxes(*args, IMG, **kw)
+    two = bin_bboxes(*args, IMG, **kw, band0=4, overflow_cap=args[0].shape[0])
+    for field in ("entry_gauss", "entry_valid", "entry_splat", "entry_mesh",
+                  "tile_start", "tile_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, field)), np.asarray(getattr(two, field)),
+            err_msg=field,
+        )
+    for field in one.telemetry._fields:
+        assert int(getattr(one.telemetry, field)) == int(
+            getattr(two.telemetry, field)
+        ), field
