@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,8 +59,9 @@ _BIG = 1e10
 NCMAX = 64  # max CHUNK-sized entry chunks a tile sweep ingests (segments
 # beyond NCMAX*CHUNK entries are clamped; binning telemetry detects it)
 
-GROUP = 4  # tile slots per kernel program (amortizes ~1.4 us/program of
-# grid/pipeline overhead measured on the v5e across 4 sweeps)
+GROUP = int(os.environ.get("GOMAVATAR_FRAME_GROUP", "4"))  # tile slots per
+# kernel program (amortizes ~1.4 us/program of grid/pipeline overhead
+# measured on the v5e across 4 sweeps); env override for perf A/B only
 
 
 def _frame_kernel(
