@@ -96,6 +96,10 @@ class GoMConfig:
     # band of max(F // 8, 2048) slots x (max_tiles_per_gaussian - band0).
     # ~2.9x fewer sort keys at flagship occupancy; None = single-band.
     binning_band0: int | None = 4
+    # same for the train-path union binning (default off until the E2E
+    # schedule is re-measured with it; flagship train coverage fits band A:
+    # 182k entries, zero faces over 4 tiles at the 3.5px blur margin)
+    binning_band0_train: int | None = None
 
     @staticmethod
     def from_model_cfg(model_cfg: dict, num_vertices: int, num_faces: int) -> "GoMConfig":
@@ -383,6 +387,8 @@ def gom_forward(
         blur_margin_px=blur_margin_px,
         max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
         dual_faces=statics.dual_faces,
+        band0=cfg.binning_band0_train,
+        overflow_cap=max(faces.shape[0] // 8, 2048),
     )
     bins = shared[4]
     albedo, mask = render_gaussians(

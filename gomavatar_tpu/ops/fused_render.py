@@ -35,6 +35,8 @@ def frame_union_bins(
     max_tiles_per_primitive: int = 16,
     buffer_factor: int = 4,
     dual_faces=None,
+    band0=None,
+    overflow_cap=None,
 ):
     """Shared per-frame binning: ONE union-bbox tile binning serving both
     the splat blend and the mesh passes (gaussians are pinned to faces, so
@@ -78,5 +80,7 @@ def frame_union_bins(
             (sx0, sx1, sy0, sy1, proj.valid),
             (mx0, mx1, my0, my1, in_front),
         ),
+        band0=band0,
+        overflow_cap=overflow_cap,
     )
     return proj, tris_xy, tris_z, in_front, bins
