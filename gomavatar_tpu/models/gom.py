@@ -100,6 +100,12 @@ class GoMConfig:
     # schedule is re-measured with it; flagship train coverage fits band A:
     # 182k entries, zero faces over 4 tiles at the 3.5px blur margin)
     binning_band0_train: int | None = None
+    # compacted-tile grids for the TRAIN Pallas kernels (splat + mesh
+    # fwd/bwd): saves the ~1.4-2 us/program overhead of every empty tile
+    # (at 512^2 a body view occupies ~200-400 of 1024).  None = full-raster
+    # grids (default until re-measured); tiles beyond the cap drop loudly
+    # via the binning telemetry's dropped_active counter.
+    train_active_tile_cap: int | None = None
 
     @staticmethod
     def from_model_cfg(model_cfg: dict, num_vertices: int, num_faces: int) -> "GoMConfig":
@@ -402,6 +408,7 @@ def gom_forward(
         implementation=cfg.splat_impl,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         bins=bins,
+        active_cap=cfg.train_active_tile_cap,
     )
     mesh_out = rasterize_mesh(
         verts_obs,
@@ -415,6 +422,7 @@ def gom_forward(
         max_tiles_per_face=cfg.max_tiles_per_face,
         bins=bins,
         dual_faces=statics.dual_faces,
+        active_cap=cfg.train_active_tile_cap,
     )
 
     # 8. shadow MLP on the normal map, x2 for identity-at-init (model.py:280-287)
@@ -427,7 +435,19 @@ def gom_forward(
         shading = None
         rgb = albedo
 
-    aux: dict[str, Any] = {"binning": bins.telemetry}
+    tel = bins.telemetry
+    if cfg.train_active_tile_cap is not None:
+        # entries on non-empty tiles beyond the compacted-kernel cap: the
+        # kernels never sweep them (black tiles, zero grads) — surface the
+        # loss through the same loud counters as the other budgets (XLA
+        # CSEs this compact_tiles with the kernels' own instances)
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        dropped_active = compact_tiles(
+            bins.tile_start, bins.tile_count, cfg.train_active_tile_cap
+        )[5]
+        tel = tel._replace(dropped_buffer=tel.dropped_buffer + dropped_active)
+    aux: dict[str, Any] = {"binning": tel}
     if train:
         aux = {
             "colors": colors,
@@ -439,7 +459,7 @@ def gom_forward(
             "shadow": shading,
             # overflow counters for the static binning budgets — all-zero
             # means exact parity with the CUDA rasterizer's dynamic binning
-            "binning": bins.telemetry,
+            "binning": tel,
         }
     return rgb, mask, aux
 

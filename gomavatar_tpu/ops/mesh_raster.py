@@ -93,6 +93,7 @@ def rasterize_mesh(
     implementation: str = "auto",
     bins=None,
     dual_faces=None,
+    active_cap: int | None = None,
 ) -> MeshRasterOut:
     """Rasterize the mesh.
 
@@ -188,6 +189,7 @@ def rasterize_mesh(
             bins.num_tiles_y,
             soft_mask,
             sigma_px2,
+            active_cap,
         )
         return MeshRasterOut(normal=normal, mask=mask, soft_mask=soft if soft_mask else None)
 

@@ -108,14 +108,19 @@ def _first_onehot(eligible):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    start_ref, count_ref, entries_hbm,
-    hard_out, soft_out,
-    chunk_vmem, sem,
-    *, num_tiles_x: int, ncmax: int, soft: bool, sigma_px2: float,
+    *refs,
+    num_tiles_x: int, ncmax: int, soft: bool, sigma_px2: float,
+    compact: bool = False,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    nchunks = jnp.minimum(count_ref[t] // CHUNK, ncmax)
+    if compact:
+        aid_ref, start_ref, count_ref, entries_hbm, hard_out, soft_out, chunk_vmem, sem = refs
+        s = pl.program_id(0)
+        t = aid_ref[s]
+    else:
+        start_ref, count_ref, entries_hbm, hard_out, soft_out, chunk_vmem, sem = refs
+        s = t = pl.program_id(0)
+    start = start_ref[s]
+    nchunks = jnp.minimum(count_ref[s] // CHUNK, ncmax)
     px, py = _pixel_coords(t, num_tiles_x)
 
     def get_dma(slot, k):
@@ -172,14 +177,21 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    start_ref, count_ref, entries_hbm, g_hard_in, g_soft_in,
-    d_entries_hbm,
-    chunk_vmem, dchunk_vmem, sem, dsem,
-    *, num_tiles_x: int, ncmax: int, soft: bool, sigma_px2: float,
+    *refs,
+    num_tiles_x: int, ncmax: int, soft: bool, sigma_px2: float,
+    compact: bool = False,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    nchunks = jnp.minimum(count_ref[t] // CHUNK, ncmax)
+    if compact:
+        (aid_ref, start_ref, count_ref, entries_hbm, g_hard_in, g_soft_in,
+         d_entries_hbm, chunk_vmem, dchunk_vmem, sem, dsem) = refs
+        s = pl.program_id(0)
+        t = aid_ref[s]
+    else:
+        (start_ref, count_ref, entries_hbm, g_hard_in, g_soft_in,
+         d_entries_hbm, chunk_vmem, dchunk_vmem, sem, dsem) = refs
+        s = t = pl.program_id(0)
+    start = start_ref[s]
+    nchunks = jnp.minimum(count_ref[s] // CHUNK, ncmax)
     px, py = _pixel_coords(t, num_tiles_x)
     g_n = g_hard_in[0][0:3]  # (3, P)
     g_soft = g_soft_in[0].reshape(P, 1)
@@ -271,13 +283,26 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax")
+    jax.jit,
+    static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax", "active_cap"),
 )
-def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=NCMAX):
+def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft,
+              sigma_px2, ncmax=NCMAX, active_cap=None):
     T = num_tiles_x * num_tiles_y
+    compact = active_cap is not None
+    if compact:
+        # compacted non-empty-tile grid (see splat _fwd_call)
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        A = active_cap
+        aid, st, ct, pos, _, _ = compact_tiles(tile_start, tile_count, A)
+        prefetch, grid, args = 3, (A,), (aid, st, ct, entries)
+    else:
+        A = T
+        prefetch, grid, args = 2, (T,), (tile_start, tile_count, entries)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=prefetch,
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -290,30 +315,50 @@ def _fwd_call(entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, s
     )
     hard_t, soft_t = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, num_tiles_x=num_tiles_x, ncmax=ncmax, soft=soft, sigma_px2=sigma_px2
+            _fwd_kernel, num_tiles_x=num_tiles_x, ncmax=ncmax, soft=soft,
+            sigma_px2=sigma_px2, compact=compact,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, 4, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((A, 4, P), jnp.float32),
+            jax.ShapeDtypeStruct((A, 1, P), jnp.float32),
         ],
-    )(tile_start, tile_count, entries)
+    )(*args)
+    if compact:
+        hard_t = jnp.concatenate([hard_t, jnp.zeros((1, 4, P), hard_t.dtype)])[pos]
+        soft_t = jnp.concatenate([soft_t, jnp.zeros((1, 1, P), soft_t.dtype)])[pos]
     return hard_t, soft_t
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax")
+    jax.jit,
+    static_argnames=("num_tiles_x", "num_tiles_y", "soft", "sigma_px2", "ncmax", "active_cap"),
 )
-def _bwd_call(entries, tile_start, tile_count, g_hard_t, g_soft_t, num_tiles_x, num_tiles_y, soft, sigma_px2, ncmax=NCMAX):
+def _bwd_call(entries, tile_start, tile_count, g_hard_t, g_soft_t, num_tiles_x,
+              num_tiles_y, soft, sigma_px2, ncmax=NCMAX, active_cap=None):
     T = num_tiles_x * num_tiles_y
     Dp = entries.shape[1]
+    compact = active_cap is not None
+    if compact:
+        # g blocks read from the full (T, ...) tensors through the
+        # scalar-prefetched active_id index map (see splat _bwd_call)
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        aid, st, ct, _, _, _ = compact_tiles(tile_start, tile_count, active_cap)
+        prefetch, grid = 3, (active_cap,)
+        args = (aid, st, ct, entries, g_hard_t, g_soft_t)
+        g_index = lambda s, aid_ref, *_: (aid_ref[s], 0, 0)
+    else:
+        prefetch, grid = 2, (T,)
+        args = (tile_start, tile_count, entries, g_hard_t, g_soft_t)
+        g_index = lambda t, *_: (t, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=prefetch,
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 4, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, P), g_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), g_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -325,12 +370,13 @@ def _bwd_call(entries, tile_start, tile_count, g_hard_t, g_soft_t, num_tiles_x, 
     )
     d_entries = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, num_tiles_x=num_tiles_x, ncmax=ncmax, soft=soft, sigma_px2=sigma_px2
+            _bwd_kernel, num_tiles_x=num_tiles_x, ncmax=ncmax, soft=soft,
+            sigma_px2=sigma_px2, compact=compact,
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NCH, Dp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, entries, g_hard_t, g_soft_t)[0]
+    )(*args)[0]
     return d_entries
 
 
@@ -339,22 +385,29 @@ def _untile1(x_t, num_tiles_x, num_tiles_y):
     return x_t.reshape(num_tiles_y, num_tiles_x, TILE, TILE).transpose(0, 2, 1, 3).reshape(H, W)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def mesh_composite_pallas(
     entries, entry_valid, tile_start, tile_count,
     num_tiles_x: int, num_tiles_y: int, soft: bool, sigma_px2: float,
+    active_cap: int | None = None,
 ):
-    """Returns (normal (H, W, 3), mask (H, W), soft (H, W))."""
+    """Returns (normal (H, W, 3), mask (H, W), soft (H, W)).
+
+    ``active_cap``: grid over that many compacted non-empty tiles instead of
+    the full raster (tiles beyond the cap render empty with zero gradients —
+    size it generously and watch the binning telemetry)."""
     out, _ = _mesh_fwd(
         entries, entry_valid, tile_start, tile_count,
-        num_tiles_x, num_tiles_y, soft, sigma_px2,
+        num_tiles_x, num_tiles_y, soft, sigma_px2, active_cap,
     )
     return out
 
 
-def _mesh_fwd(entries, entry_valid, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, sigma_px2):
+def _mesh_fwd(entries, entry_valid, tile_start, tile_count, num_tiles_x,
+              num_tiles_y, soft, sigma_px2, active_cap):
     hard_t, soft_t = _fwd_call(
-        entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft, sigma_px2
+        entries, tile_start, tile_count, num_tiles_x, num_tiles_y, soft,
+        sigma_px2, active_cap=active_cap,
     )
     TY, TX = num_tiles_y, num_tiles_x
     H, W = TY * TILE, TX * TILE
@@ -368,7 +421,7 @@ def _mesh_fwd(entries, entry_valid, tile_start, tile_count, num_tiles_x, num_til
     return (normal, mask, soft_img), (entries, entry_valid, tile_start, tile_count)
 
 
-def _mesh_bwd(num_tiles_x, num_tiles_y, soft, sigma_px2, residuals, g):
+def _mesh_bwd(num_tiles_x, num_tiles_y, soft, sigma_px2, active_cap, residuals, g):
     entries, entry_valid, tile_start, tile_count = residuals
     g_normal, _g_mask, g_soft = g  # hard mask carries no gradient
     TY, TX = num_tiles_y, num_tiles_x
@@ -382,13 +435,18 @@ def _mesh_bwd(num_tiles_x, num_tiles_y, soft, sigma_px2, residuals, g):
     g_soft_t = g_soft.reshape(TY, TILE, TX, TILE).transpose(0, 2, 1, 3).reshape(TY * TX, 1, P)
     d_entries = _bwd_call(
         entries, tile_start, tile_count, g_hard_t, g_soft_t,
-        num_tiles_x, num_tiles_y, soft, sigma_px2,
+        num_tiles_x, num_tiles_y, soft, sigma_px2, active_cap=active_cap,
     )
     # SELECT (never multiply): unwritten output slots hold stale HBM bytes
     # that can decode as NaN, and 0 * NaN = NaN (see splat _composite_bwd).
-    written = written_slot_mask(
-        tile_start, tile_count, entries.shape[1], ncmax=NCMAX
-    )
+    # Under a compacted grid only in-cap slots' segments are swept.
+    if active_cap is None:
+        ws, wc = tile_start, tile_count
+    else:
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        _, ws, wc, _, _, _ = compact_tiles(tile_start, tile_count, active_cap)
+    written = written_slot_mask(ws, wc, entries.shape[1], ncmax=NCMAX)
     d_entries = jnp.where((entry_valid * written)[None, :] > 0, d_entries, 0.0)
     ft0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_entries, jnp.zeros_like(entry_valid), ft0(tile_start), ft0(tile_count))

@@ -156,25 +156,23 @@ def _transmittance(alpha, log_T, fast: bool = False):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    # scalar prefetch
-    start_ref,
-    count_ref,
-    # inputs
-    entries_hbm,
-    # outputs
-    color_out,
-    alpha_out,
-    # scratch
-    chunk_vmem,
-    sem,
-    *,
+    # scalar prefetch: (start, count) over tiles, or (active_id, start,
+    # count) over compacted slots (compact=True)
+    *refs,
     C: int,
     num_tiles_x: int,
     ncmax: int,
+    compact: bool = False,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    nchunks = jnp.minimum(count_ref[t] // CHUNK, ncmax)
+    if compact:
+        aid_ref, start_ref, count_ref, entries_hbm, color_out, alpha_out, chunk_vmem, sem = refs
+        s = pl.program_id(0)
+        t = aid_ref[s]
+    else:
+        start_ref, count_ref, entries_hbm, color_out, alpha_out, chunk_vmem, sem = refs
+        s = t = pl.program_id(0)
+    start = start_ref[s]
+    nchunks = jnp.minimum(count_ref[s] // CHUNK, ncmax)
     px, py = _pixel_coords(t, num_tiles_x)
 
     def get_dma(slot, k):
@@ -235,29 +233,28 @@ def _fwd_kernel(
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(
-    # scalar prefetch
-    start_ref,
-    count_ref,
-    # inputs
-    entries_hbm,
-    g_color_in,  # (1, C, P) block
-    g_alpha_in,  # (1, 1, P) block
-    # outputs
-    d_entries_hbm,  # (NCH, Dp) in HBM, written per-segment
-    # scratch
-    chunk_vmem,  # (2, NCH, CHUNK)
-    dchunk_vmem,  # (NCH, CHUNK)
-    carries_vmem,  # (NCMAX, P) entering log_T per chunk
-    sem,
-    dsem,
-    *,
+    # scalar prefetch ((start, count) or (active_id, start, count)), then:
+    # inputs   entries_hbm, g_color_in (1, C, P) block, g_alpha_in (1, 1, P)
+    # outputs  d_entries_hbm (NCH, Dp) in HBM, written per-segment
+    # scratch  chunk_vmem (2, NCH, CHUNK), dchunk_vmem (NCH, CHUNK),
+    #          carries_vmem (NCMAX, P) entering log_T per chunk, sem, dsem
+    *refs,
     C: int,
     num_tiles_x: int,
     ncmax: int,
+    compact: bool = False,
 ):
-    t = pl.program_id(0)
-    start = start_ref[t]
-    nchunks = jnp.minimum(count_ref[t] // CHUNK, ncmax)
+    if compact:
+        (aid_ref, start_ref, count_ref, entries_hbm, g_color_in, g_alpha_in,
+         d_entries_hbm, chunk_vmem, dchunk_vmem, carries_vmem, sem, dsem) = refs
+        s = pl.program_id(0)
+        t = aid_ref[s]
+    else:
+        (start_ref, count_ref, entries_hbm, g_color_in, g_alpha_in,
+         d_entries_hbm, chunk_vmem, dchunk_vmem, carries_vmem, sem, dsem) = refs
+        s = t = pl.program_id(0)
+    start = start_ref[s]
+    nchunks = jnp.minimum(count_ref[s] // CHUNK, ncmax)
     px, py = _pixel_coords(t, num_tiles_x)
     g_img = g_color_in[0]  # (C, P)
     g_alpha = g_alpha_in[0].reshape(P, 1)
@@ -382,45 +379,89 @@ def pack_gaussian_channels(mean2d, conic, opacity, colors):
     return jnp.concatenate(parts, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax"))
-def _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y, ncmax=NCMAX):
+@functools.partial(
+    jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax", "active_cap")
+)
+def _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y,
+              ncmax=NCMAX, active_cap=None):
     NCH, Dp = entries.shape
     T = num_tiles_x * num_tiles_y
+    compact = active_cap is not None
+    scratch = [
+        pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if compact:
+        # grid over compacted non-empty tile slots: every empty tile saves
+        # its ~1.4-2 us/program pipeline overhead; compact outputs are
+        # scattered back with a zeros-extended gather (pos_of_tile)
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        A = active_cap
+        aid, st, ct, pos, _, _ = compact_tiles(tile_start, tile_count, A)
+        prefetch, grid, args = 3, (A,), (aid, st, ct, entries)
+    else:
+        A = T
+        prefetch, grid, args = 2, (T,), (tile_start, tile_count, entries)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=prefetch,
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, C, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, NCH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     color_t, alpha_t = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, num_tiles_x=num_tiles_x, ncmax=ncmax),
+        functools.partial(
+            _fwd_kernel, C=C, num_tiles_x=num_tiles_x, ncmax=ncmax, compact=compact
+        ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, C, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((A, C, P), jnp.float32),
+            jax.ShapeDtypeStruct((A, 1, P), jnp.float32),
         ],
-    )(tile_start, tile_count, entries)
+    )(*args)
+    if compact:
+        color_t = jnp.concatenate(
+            [color_t, jnp.zeros((1, C, P), color_t.dtype)]
+        )[pos]
+        alpha_t = jnp.concatenate(
+            [alpha_t, jnp.zeros((1, 1, P), alpha_t.dtype)]
+        )[pos]
     return color_t, alpha_t
 
 
-@functools.partial(jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax"))
-def _bwd_call(entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tiles_x, num_tiles_y, ncmax=NCMAX):
+@functools.partial(
+    jax.jit, static_argnames=("C", "num_tiles_x", "num_tiles_y", "ncmax", "active_cap")
+)
+def _bwd_call(entries, tile_start, tile_count, g_color_t, g_alpha_t, C,
+              num_tiles_x, num_tiles_y, ncmax=NCMAX, active_cap=None):
     NCH, Dp = entries.shape
     T = num_tiles_x * num_tiles_y
+    compact = active_cap is not None
+    if compact:
+        # grid over compacted slots; g blocks are read straight out of the
+        # full (T, ...) tensors through the scalar-prefetched active_id
+        # index map (no pre-gather)
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        aid, st, ct, _, _, _ = compact_tiles(tile_start, tile_count, active_cap)
+        prefetch, grid = 3, (active_cap,)
+        args = (aid, st, ct, entries, g_color_t, g_alpha_t)
+        g_index = lambda s, aid_ref, *_: (aid_ref[s], 0, 0)
+    else:
+        prefetch, grid = 2, (T,)
+        args = (tile_start, tile_count, entries, g_color_t, g_alpha_t)
+        g_index = lambda t, *_: (t, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=prefetch,
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, C, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, P), g_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), g_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -432,11 +473,13 @@ def _bwd_call(entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tile
         ],
     )
     d_entries = pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, num_tiles_x=num_tiles_x, ncmax=ncmax),
+        functools.partial(
+            _bwd_kernel, C=C, num_tiles_x=num_tiles_x, ncmax=ncmax, compact=compact
+        ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((NCH, Dp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, entries, g_color_t, g_alpha_t)[0]
+    )(*args)[0]
     return d_entries
 
 
@@ -470,7 +513,7 @@ def _retile(g_img, g_alpha, num_tiles_x, num_tiles_y, C):
     return g_color_t, g_alpha_t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def composite_tiles_pallas(
     entries,
     entry_valid,
@@ -479,6 +522,7 @@ def composite_tiles_pallas(
     C: int,
     num_tiles_x: int,
     num_tiles_y: int,
+    active_cap: int | None = None,
 ):
     """Composite all tiles on TPU; returns (img (H, W, C), alpha (H, W)).
 
@@ -486,26 +530,35 @@ def composite_tiles_pallas(
     :func:`pack_gaussian_channels`); the opacity row must already be zeroed
     on padding entries.  ``entry_valid`` masks gradients of buffer regions
     no tile program writes (the backward output is uninitialized there).
+    ``active_cap``: grid over that many compacted non-empty tiles instead
+    of the full raster (tiles beyond the cap render black and get zero
+    gradients — size it generously and watch the binning telemetry).
     """
     out, _ = _composite_fwd(
-        entries, entry_valid, tile_start, tile_count, C, num_tiles_x, num_tiles_y
+        entries, entry_valid, tile_start, tile_count,
+        C, num_tiles_x, num_tiles_y, active_cap,
     )
     return out
 
 
-def _composite_fwd(entries, entry_valid, tile_start, tile_count, C, num_tiles_x, num_tiles_y):
-    color_t, alpha_t = _fwd_call(entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y)
+def _composite_fwd(entries, entry_valid, tile_start, tile_count, C,
+                   num_tiles_x, num_tiles_y, active_cap):
+    color_t, alpha_t = _fwd_call(
+        entries, tile_start, tile_count, C, num_tiles_x, num_tiles_y,
+        active_cap=active_cap,
+    )
     img, alpha = _untile(color_t, alpha_t, num_tiles_x, num_tiles_y, C)
     residuals = (entries, entry_valid, tile_start, tile_count)
     return (img, alpha), residuals
 
 
-def _composite_bwd(C, num_tiles_x, num_tiles_y, residuals, g):
+def _composite_bwd(C, num_tiles_x, num_tiles_y, active_cap, residuals, g):
     entries, entry_valid, tile_start, tile_count = residuals
     g_img, g_alpha = g
     g_color_t, g_alpha_t = _retile(g_img, g_alpha, num_tiles_x, num_tiles_y, C)
     d_entries = _bwd_call(
-        entries, tile_start, tile_count, g_color_t, g_alpha_t, C, num_tiles_x, num_tiles_y
+        entries, tile_start, tile_count, g_color_t, g_alpha_t,
+        C, num_tiles_x, num_tiles_y, active_cap=active_cap,
     )
     # SELECT (never multiply): slots no tile program writes hold stale HBM
     # bytes that can decode as NaN, and 0 * NaN = NaN.  The mask must also
@@ -513,9 +566,15 @@ def _composite_bwd(C, num_tiles_x, num_tiles_y, residuals, g):
     # gradients would otherwise scatter into gaussian 0 via the pack gather's
     # transpose.  Rows >= 6+C are alignment padding the kernel's dchunk
     # scratch never initializes — uninitialized VMEM, masked likewise.
-    written = written_slot_mask(
-        tile_start, tile_count, entries.shape[1], ncmax=NCMAX
-    )
+    # Under a compacted grid only the in-cap slots' segments are swept, so
+    # the mask is built from exactly those segments.
+    if active_cap is None:
+        ws, wc = tile_start, tile_count
+    else:
+        from gomavatar_tpu.ops.splat.binning import compact_tiles
+
+        _, ws, wc, _, _, _ = compact_tiles(tile_start, tile_count, active_cap)
+    written = written_slot_mask(ws, wc, entries.shape[1], ncmax=NCMAX)
     row_real = (jnp.arange(entries.shape[0]) < 6 + C)[:, None]
     d_entries = jnp.where(
         row_real & ((entry_valid * written)[None, :] > 0), d_entries, 0.0

@@ -42,6 +42,7 @@ def render_gaussians(
     buffer_factor: int = 8,
     max_chunks: int = 64,
     bins=None,
+    active_cap: int | None = None,
 ):
     """Render gaussians to an image.
 
@@ -98,6 +99,7 @@ def render_gaussians(
                 colors.shape[-1],
                 bins.num_tiles_x,
                 bins.num_tiles_y,
+                active_cap,
             )
         elif implementation == "jnp":
             img, alpha = composite_tiles_jnp(

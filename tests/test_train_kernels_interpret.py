@@ -115,3 +115,129 @@ def test_pallas_mesh_raster_grads_finite_and_match_jnp_interpret(rng):
         assert np.isfinite(a).all(), f"{name} leaked non-finite values"
         close = np.isclose(a, b, atol=tol)
         assert close.mean() > 0.999, f"{name}: {(~close).mean():.2%} mismatch"
+
+
+def test_pallas_splat_compact_tiles_matches_full_grid(rng):
+    """active_cap compaction: identical image + gradients to the full-raster
+    grid (the interpreter NaN-fills unwritten outputs, so a wrong
+    written_slot_mask or pos gather surfaces as NaN/mismatch here)."""
+    means, cov, colors, opacity, K, E = _scene(rng)
+
+    def run(active_cap):
+        def f(colors_, opacity_):
+            return render_gaussians(
+                means, cov, colors_, opacity_, K, E, (W, H),
+                implementation="pallas", active_cap=active_cap,
+            )
+
+        (img, alpha), vjp = jax.vjp(f, colors, opacity)
+        d_colors, d_opacity = vjp((jnp.ones_like(img) * 0.5, jnp.ones_like(alpha)))
+        return img, alpha, d_colors, d_opacity
+
+    with pltpu.force_tpu_interpret_mode():
+        full = run(None)
+        comp = run((W // 16) * (H // 16))  # cap == T: lossless compaction
+    for name, a, b in zip(("img", "alpha", "d_colors", "d_opacity"), comp, full):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), f"{name} leaked non-finite values"
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+
+def test_pallas_splat_compact_overcap_is_finite_and_partial(rng):
+    """cap < active tiles: over-cap tiles render black with zero gradients —
+    never NaN (their d_entries segments are unwritten and must be masked)."""
+    means, cov, colors, opacity, K, E = _scene(rng)
+
+    def f(colors_, opacity_):
+        return render_gaussians(
+            means, cov, colors_, opacity_, K, E, (W, H),
+            implementation="pallas", active_cap=4,
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        (img, alpha), vjp = jax.vjp(f, colors, opacity)
+        d_colors, d_opacity = vjp((jnp.ones_like(img) * 0.5, jnp.ones_like(alpha)))
+    for name, a in (("img", img), ("alpha", alpha),
+                    ("d_colors", d_colors), ("d_opacity", d_opacity)):
+        assert np.isfinite(np.asarray(a)).all(), f"{name} leaked non-finite values"
+    # over-cap tiles are black: strictly less alpha than the full render
+    with pltpu.force_tpu_interpret_mode():
+        full_alpha = render_gaussians(
+            means, cov, colors, opacity, K, E, (W, H), implementation="pallas"
+        )[1]
+    assert float(jnp.sum(alpha)) < float(jnp.sum(full_alpha))
+
+
+def test_pallas_mesh_compact_tiles_matches_full_grid(rng):
+    from gomavatar_tpu.ops.mesh_raster import rasterize_mesh
+    from gomavatar_tpu.models.smpl import synthetic_body, synthetic_camera
+
+    info = synthetic_body(n_rings=8, n_seg=10)
+    verts = jnp.asarray(info["canonical_vertex"])
+    faces = jnp.asarray(info["faces"], jnp.int32)
+    normals = verts / jnp.linalg.norm(verts, axis=-1, keepdims=True)
+    K, E = synthetic_camera((W, H), distance=2.2, focal=1.1 * H)
+    K, E = jnp.asarray(K), jnp.asarray(E)
+
+    def run(active_cap):
+        def f(v, n):
+            out = rasterize_mesh(
+                v, n, faces, K, E, (W, H), soft_mask=True, blur_sigma=1e-5,
+                implementation="pallas", active_cap=active_cap,
+            )
+            return out.normal, out.soft_mask
+
+        (normal, soft), vjp = jax.vjp(f, verts, normals)
+        d_v, d_n = vjp((jnp.ones_like(normal), jnp.ones_like(soft)))
+        return normal, soft, d_v, d_n
+
+    with pltpu.force_tpu_interpret_mode():
+        full = run(None)
+        comp = run((W // 16) * (H // 16))
+    for name, a, b in zip(("normal", "soft", "d_verts", "d_normals"), comp, full):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), f"{name} leaked non-finite values"
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+
+def test_gom_train_forward_with_compaction_and_two_band(rng):
+    """Full train forward+grads with binning_band0_train + train_active_tile
+    cap on: identical losses/gradients to the default path (interpret mode
+    NaN-fills unwritten kernel outputs, making unmasked slots fatal)."""
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_frame_render import _scene, _verts_obs
+
+    params, statics, gom_cfg, batch = _scene()
+
+    def loss_with(cfg):
+        def f(params):
+            from gomavatar_tpu.models.gom import gom_forward
+
+            rgb, mask, aux = gom_forward(
+                params, statics, cfg, batch["K"], batch["E"],
+                batch["cnl_gtfms"], batch["dst_Rs"], batch["dst_Ts"],
+                dst_posevec=batch["dst_posevec"], i_iter=0.0, train=True,
+            )
+            return jnp.sum(rgb**2) + jnp.sum(mask), aux
+        (val, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return val, aux, grads
+
+    import dataclasses
+    cfg_fast = dataclasses.replace(
+        gom_cfg,
+        splat_impl="pallas",
+        binning_band0_train=4,
+        train_active_tile_cap=(W // 16) * (H // 16),
+    )
+    cfg_ref = dataclasses.replace(gom_cfg, splat_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        v2, aux2, g2 = loss_with(cfg_fast)
+        v1, aux1, g1 = loss_with(cfg_ref)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    assert int(aux2["binning"].total_dropped()) == 0
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

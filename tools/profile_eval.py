@@ -69,7 +69,11 @@ def main():
                          "breakdown currently profiles the flagship scene")
     params, statics, cfg, batch, _ = _flagship()
     if args.band0 >= 0:
-        cfg = cfg._replace(binning_band0=args.band0 if args.band0 > 0 else None)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, binning_band0=args.band0 if args.band0 > 0 else None
+        )
     print(f"scene: {cfg.num_faces} faces @ {cfg.img_size}, "
           f"band0={cfg.binning_band0}, backend={jax.devices()[0].platform}",
           file=sys.stderr)
