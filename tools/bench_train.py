@@ -4,11 +4,16 @@ Measures the full optimizer step (forward with all losses, backward through
 both Pallas rasterizers, Adam) on the flagship model at 512x512 — with and
 without the LPIPS term (the VGG conv stack dominates when enabled).
 
-    python tools/bench_train.py
+    python tools/bench_train.py [--band0 4] [--active_cap 512]
+
+(--band0 enables two-band train binning; --active_cap enables the
+compacted-tile kernel grids — the perf A/B knobs of GoMConfig.)
 """
 
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import sys
 import time
 
@@ -24,7 +29,20 @@ def main():
     from gomavatar_tpu.trainer import make_train_step
     from gomavatar_tpu.models import lpips as lpips_lib
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--band0", type=int, default=0, help="0 = single-band")
+    ap.add_argument("--active_cap", type=int, default=0, help="0 = full raster")
+    flags = ap.parse_args()
+
     params, statics, gom_cfg, batch, cfg = _flagship()
+    if flags.band0 or flags.active_cap:
+        gom_cfg = dataclasses.replace(
+            gom_cfg,
+            binning_band0_train=flags.band0 or None,
+            train_active_tile_cap=flags.active_cap or None,
+        )
+        print(f"flags: band0={gom_cfg.binning_band0_train} "
+              f"active_cap={gom_cfg.train_active_tile_cap}", flush=True)
     tcfg = cfg["train"]
     loss_cfg = tcfg["losses"]
     loss_cfg["laplacian"]["coeff_observation"] = 10.0
