@@ -295,7 +295,14 @@ def render_frame_sorted(
     TX, TY = bins.num_tiles_x, bins.num_tiles_y
     with_shadow = shading0 is not None
     with_mesh = with_shadow or with_normal
-    entries = table[bins.order].T  # (NCH, Dcap) — the only data gather
+    if os.environ.get("GOMAVATAR_WIDE_GATHER", "0") == "1":
+        # perf A/B: scalar-row gathers are row-overhead bound on TPU; pad
+        # the table to 128 lanes so each gathered row is one full-lane copy
+        # (trades ~5x HBM traffic for ~9x lower per-row overhead)
+        pad = jnp.zeros((table.shape[0], 128 - table.shape[1]), table.dtype)
+        entries = jnp.concatenate([table, pad], axis=1)[bins.order][:, : table.shape[1]].T
+    else:
+        entries = table[bins.order].T  # (NCH, Dcap) — the only data gather
     # fold the per-pass flags into the entry stream (see module docstring)
     entries = entries.at[5].multiply(bins.entry_splat)
     entries = entries.at[18].multiply(bins.entry_mesh)
