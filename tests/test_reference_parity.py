@@ -288,3 +288,39 @@ def test_smplx_fk_runs_on_55_joints(rng):
     ref_Rs, ref_Ts = ref_body.body_pose_to_body_RTs(jang, tpose, use_smplx=True)
     np.testing.assert_allclose(np.asarray(Rs), ref_Rs.reshape(55, 3, 3), atol=5e-5)
     np.testing.assert_allclose(np.asarray(Ts), ref_Ts, atol=5e-5)
+
+
+def test_gaussian_bone_volumes_match_reference():
+    """ops/lbs_volume.py:gaussian_bone_volumes (batched einsums) ==
+    reference approx_gaussian_bone_volumes (per-joint Python loops,
+    body_util.py:427-509) on the synthetic skeleton."""
+    from gomavatar_tpu.models.smpl import synthetic_body
+    from gomavatar_tpu.ops.lbs_volume import gaussian_bone_volumes
+
+    joints = synthetic_body(n_rings=8, n_seg=10)["canonical_joints"]
+    lo = joints.min(0) - 0.25
+    hi = joints.max(0) + 0.25
+    ours = gaussian_bone_volumes(joints, lo, hi, grid_size=16)
+    ref = ref_body.approx_gaussian_bone_volumes(joints, lo, hi, grid_size=16)
+    assert ours.shape == ref.shape == (25, 16, 16, 16)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_lbs_weights_knn_matches_reference(rng):
+    """ops/lbs_volume.py:lbs_weights_knn == reference
+    approx_gaussian_bone_volumes_smpl (body_util.py:512-550)."""
+    from gomavatar_tpu.ops.lbs_volume import lbs_weights_knn
+
+    V, J, N = 300, 24, 500
+    vertex = rng.normal(size=(V, 3)).astype(np.float32)
+    w = rng.random((V, J)).astype(np.float32)
+    w = w / w.sum(-1, keepdims=True)
+    xyzs = rng.normal(size=(3, N)).astype(np.float32)
+    for K in (1, 4):
+        ours = lbs_weights_knn(vertex, w, xyzs, K=K, sigma=0.2)
+        ref = ref_body.approx_gaussian_bone_volumes_smpl(
+            torch.from_numpy(vertex), torch.from_numpy(w),
+            torch.from_numpy(xyzs), K=K, sigma=0.2,
+        ).numpy()
+        assert ours.shape == ref.shape == (J + 1, N)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
