@@ -9,7 +9,10 @@ Checks (hard-fails on mismatch):
   1. splat: pallas forward+grads == tiled-jnp == brute-force oracle;
   2. mesh raster: pallas forward+grads == jnp path;
   3. fused eval renderer == separate kernels (bit-exact);
-  4. full-model eval forward is finite and covered.
+  4. full-model eval forward is finite and covered;
+  5. opt-in perf paths (compacted tile grids, two-band train binning) ==
+     their default twins ON HARDWARE (real stale-HBM bytes, unlike the
+     interpreter's deterministic NaN fill).
 """
 
 from __future__ import annotations
@@ -95,6 +98,48 @@ def main():
     for a_, b_, nm in zip(gj, gp, ["verts", "normals"]):
         scale = float(jnp.abs(a_).max()) + 1e-12
         check(f"mesh grad {nm}", b_ / scale, a_ / scale, 1e-5)
+
+    # --- 2b. opt-in perf paths == default twins on hardware ---------------
+    def loss_cap(cap):
+        def f(m, c, o):
+            img, alpha = render_gaussians(
+                m, cov, c, o, K, E, (W, H), implementation="pallas",
+                active_cap=cap,
+            )
+            return jnp.mean(img**2) + jnp.mean(alpha)
+        return f
+
+    T_tiles = (W // 16) * (H // 16)
+    img_c, a_c = render_gaussians(
+        means, cov, colors, opacity, K, E, (W, H),
+        implementation="pallas", active_cap=T_tiles,
+    )
+    check("splat compact fwd (img)", img_c, img_p, 0.0)
+    check("splat compact fwd (alpha)", a_c, a_p, 0.0)
+    g_c = jax.grad(loss_cap(T_tiles), argnums=(0, 1, 2))(means, colors, opacity)
+    g_full = jax.grad(loss_cap(None), argnums=(0, 1, 2))(means, colors, opacity)
+    for gc, gf, nm in zip(g_c, g_full, ["means", "colors", "opacity"]):
+        check(f"splat compact grad {nm}", gc, gf, 0.0)
+
+    def mloss_cap(cap):
+        def f(v, n_):
+            out = rasterize_mesh(
+                v, n_, faces, K, E, (W, H), soft_mask=True, blur_sigma=1e-4,
+                implementation="pallas", active_cap=cap,
+            )
+            return jnp.sum(out.soft_mask) + jnp.sum(out.normal**2)
+        return f
+
+    oc = rasterize_mesh(
+        verts, normals, faces, K, E, (W, H), soft_mask=True, blur_sigma=1e-4,
+        implementation="pallas", active_cap=T_tiles,
+    )
+    check("mesh compact fwd", oc.normal, op.normal, 0.0)
+    check("mesh compact soft", oc.soft_mask, op.soft_mask, 0.0)
+    gc = jax.grad(mloss_cap(T_tiles), argnums=(0, 1))(verts, normals)
+    gf = jax.grad(mloss_cap(None), argnums=(0, 1))(verts, normals)
+    for a_, b_, nm in zip(gc, gf, ["verts", "normals"]):
+        check(f"mesh compact grad {nm}", a_, b_, 0.0)
 
     # --- 3. fused vs unfused on the flagship ------------------------------
     from __graft_entry__ import _flagship
