@@ -267,6 +267,69 @@ def load_torch_vgg16(path: str, heads_path: str | None = None):
     return {"convs": convs, "heads": heads}, heads_path is not None
 
 
+def _s2d_pack_kernel(w):
+    """(3, 3, C, Co) -> (2, 2, 4C, 4Co) packed-space kernel for the
+    space-to-depth conv formulation (see :func:`_conv3x3`): output row
+    ``2p+u`` reads input rows ``2p+u+di-1``; with the input pre-shifted by
+    one, these are rows ``2(p+A)+a`` for ``(A, a)`` in {0,1}^2 — a 2-tap
+    kernel over the 2x2-packed image."""
+    C, Co = w.shape[2], w.shape[3]
+    wpad = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))  # tap index di+1 in 0..4
+    A, a, u = np.meshgrid(np.arange(2), np.arange(2), np.arange(2), indexing="ij")
+    idx = 2 * A + a - u + 1  # (2, 2, 2) over (A, a, u), values 0..4
+    wr = wpad[idx]  # (A, a, u, 5, C, Co)
+    wc = wr[:, :, :, idx]  # (A, a, u, B, b, v, C, Co)
+    return wc.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(2, 2, 4 * C, 4 * Co)
+
+
+def _conv3x3(h, w, mode: str):
+    """3x3 stride-1 SAME conv of h (1, H, W, C) by w (3, 3, C, Co).
+
+    ``mode`` selects the formulation (GOMAVATAR_LPIPS_CONV; perf A/B on the
+    lane-starved C<128 early layers — see tools/profile_lpips.py):
+      conv    lax.conv_general_dilated (default)
+      shift9  9 shifted (HW, C) @ (C, Co) dots accumulated (no patches)
+      s2d     space-to-depth 2x2 packing -> 2x2 VALID conv at 4x channels
+              (16/9 the MACs, full 128-lane width)
+    All formulations are exact reassociations of the same conv.
+    """
+    if mode == "shift9":
+        _, H, W, C = h.shape
+        Co = w.shape[-1]
+        xp = jnp.pad(h[0], ((1, 1), (1, 1), (0, 0)))
+        acc = xp[0:H, 0:W, :].reshape(H * W, C) @ w[0, 0]
+        for di in range(3):
+            for dj in range(3):
+                if di == 0 and dj == 0:
+                    continue
+                acc = acc + xp[di : di + H, dj : dj + W, :].reshape(H * W, C) @ w[di, dj]
+        return acc.reshape(1, H, W, Co)
+    if mode == "s2d":
+        _, H, W, C = h.shape
+        Co = w.shape[-1]
+        if H % 2 == 0 and W % 2 == 0:
+            xp = jnp.pad(h[0], ((1, 1), (1, 1), (0, 0)))
+            Hp, Wp = H // 2 + 1, W // 2 + 1
+            packed = (
+                xp.reshape(Hp, 2, Wp, 2, C).transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, 4 * C)
+            )
+            w2 = _s2d_pack_kernel(w).astype(h.dtype)
+            dn = jax.lax.conv_dimension_numbers(
+                (1, Hp, Wp, 4 * C), (2, 2, 4 * C, 4 * Co), ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                packed[None], w2, (1, 1), "VALID", dimension_numbers=dn
+            )[0]
+            return (
+                y.reshape(H // 2, W // 2, 2, 2, Co)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(1, H, W, Co)
+            )
+        # odd sizes: fall through to the plain conv
+    dn = jax.lax.conv_dimension_numbers(h.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(h, w, (1, 1), "SAME", dimension_numbers=dn)
+
+
 def _vgg_features(params, x, bf16: bool):
     """x: (H, W, 3) in [-1, 1] -> list of tap feature maps (h, w, c)."""
     h = (x - _SHIFT) / _SCALE
@@ -275,7 +338,7 @@ def _vgg_features(params, x, bf16: bool):
         h = h.astype(jnp.bfloat16)
     feats = []
     conv_i = 0
-    dn = jax.lax.conv_dimension_numbers(h.shape, (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    mode = os.environ.get("GOMAVATAR_LPIPS_CONV", "conv")
     for c in _VGG_CFG:
         if c == "M":
             # 2x2/2 max-pool via reshape (reduce_window lacks a
@@ -289,7 +352,9 @@ def _vgg_features(params, x, bf16: bool):
         if bf16:
             w = w.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16)
-        h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME", dimension_numbers=dn)
+        # the A/B formulations only pay off on the lane-starved early layers
+        # (Co < 128); deep layers keep the plain conv
+        h = _conv3x3(h, w, mode if w.shape[-1] < 128 else "conv")
         h = jax.nn.relu(h + b)
         if conv_i in _TAPS:
             feats.append(h[0].astype(jnp.float32))
