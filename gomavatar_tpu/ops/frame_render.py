@@ -63,6 +63,13 @@ GROUP = int(os.environ.get("GOMAVATAR_FRAME_GROUP", "4"))  # tile slots per
 # kernel program (amortizes ~1.4 us/program of grid/pipeline overhead
 # measured on the v5e across 4 sweeps); env override for perf A/B only
 
+# bf16-split terms of the transmittance cumsum matmul (the kernel's largest
+# MXU cost, one (256,128)x(128,128) pass per term per chunk).  3 terms is
+# ~2^-24 relative; 2 terms (~2^-16, <0.01/255 on the blend) saves one MXU
+# pass per chunk.  Eval-only A/B knob — the train kernels keep 3 terms.
+CUMSUM_TERMS = int(os.environ.get("GOMAVATAR_EVAL_CUMSUM_TERMS", "3"))
+_FAST = True if CUMSUM_TERMS == 3 else CUMSUM_TERMS
+
 
 def _frame_kernel(
     # scalar prefetch
@@ -168,7 +175,7 @@ def _frame_tile(
         alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
         alpha = jnp.where(power > 0.0, 0.0, alpha)
         alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
-        w, _, cum_t = _transmittance(alpha, log_T, fast=True)
+        w, _, cum_t = _transmittance(alpha, log_T, fast=_FAST)
         log_T = cum_t[:, CHUNK - 1 : CHUNK]
         color_acc = color_acc + _dot_mixed(
             chunk[6:9, :], w, (((1,), (1,)), ((), ()))

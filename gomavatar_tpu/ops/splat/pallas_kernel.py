@@ -73,15 +73,12 @@ def _chunk_terms(chunk, px, py, C):
     return alpha, gate, G, dx, dy, (ca, cb, cc, op)
 
 
-def _dot_split3(x, m, dims):
-    """x @ m with x split into 3 exact bf16 terms (x == x1+x2+x3 to 2^-24)
-    and DEFAULT-precision bf16 matmuls.  Requires ``m`` EXACT in bf16 (0/1
-    masks, the triangular cumsum matrix).  Numerically ~HIGHEST but half the
-    MXU passes; Mosaic lowers neither Precision.HIGH nor f32 single-pass."""
-    x1 = x.astype(jnp.bfloat16)
-    r1 = x - x1.astype(jnp.float32)
-    x2 = r1.astype(jnp.bfloat16)
-    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+def _dot_split3(x, m, dims, terms: int = 3):
+    """x @ m with x split into ``terms`` exact bf16 terms (x == sum(x_i) to
+    2^-8/2^-16/2^-24 for 1/2/3 terms) and DEFAULT-precision bf16 matmuls.
+    Requires ``m`` EXACT in bf16 (0/1 masks, the triangular cumsum matrix).
+    3 terms is ~HIGHEST at half its MXU passes; Mosaic lowers neither
+    Precision.HIGH nor f32 single-pass."""
     mb = m.astype(jnp.bfloat16)
 
     def mm(a):
@@ -89,7 +86,16 @@ def _dot_split3(x, m, dims):
             a, mb, dimension_numbers=dims, preferred_element_type=jnp.float32
         )
 
-    return mm(x1) + mm(x2) + mm(x3)
+    x1 = x.astype(jnp.bfloat16)
+    out = mm(x1)
+    if terms >= 2:
+        r1 = x - x1.astype(jnp.float32)
+        x2 = r1.astype(jnp.bfloat16)
+        out = out + mm(x2)
+        if terms >= 3:
+            x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = out + mm(x3)
+    return out
 
 
 def _lane_cumsum(x, fast: bool = False):
@@ -108,7 +114,7 @@ def _lane_cumsum(x, fast: bool = False):
     tri = (row <= col).astype(x.dtype)
     dims = (((1,), (0,)), ((), ()))
     if fast:
-        return _dot_split3(x, tri, dims)
+        return _dot_split3(x, tri, dims, terms=3 if fast is True else int(fast))
     return jax.lax.dot_general(
         x,
         tri,
