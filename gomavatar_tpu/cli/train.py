@@ -240,14 +240,24 @@ def main():
             if it % tcfg["log_freq"] == 0:
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
+                total_f = float(total)
                 loss_str = ", ".join(f"{k}: {float(v):.4f}" for k, v in losses.items())
                 logging.info(
                     "iter %d (%.2f it/s) - loss: %.4f (%s)",
-                    it, tcfg["log_freq"] / max(dt, 1e-9), float(total), loss_str,
+                    it, tcfg["log_freq"] / max(dt, 1e-9), total_f, loss_str,
                 )
-            tb.summ_scalar("train/total_loss", float(total))
+                if not np.isfinite(total_f):
+                    # fail fast: continuing poisons every parameter and the
+                    # next checkpoint; the last good checkpoint stays usable
+                    # for --resume after the bug is fixed
+                    raise RuntimeError(
+                        f"non-finite training loss at iter {it}: {loss_str}"
+                    )
+            # pass device scalars through: TBLogger converts AFTER its freq
+            # gate, so off-cadence steps don't block on the device result
+            tb.summ_scalar("train/total_loss", total)
             for k, v in losses.items():
-                tb.summ_scalar(f"train/loss_{k}", float(v))
+                tb.summ_scalar(f"train/loss_{k}", v)
 
             if it % tcfg["tb_freq"] == 0:
                 log_tb_visuals(trainer, tb, batch)
