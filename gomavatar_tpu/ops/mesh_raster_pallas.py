@@ -24,6 +24,7 @@ Kernel design:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -38,6 +39,18 @@ P = TILE * TILE
 _BIG = 1e10
 NCH = 16
 NCMAX = 64  # max chunks a tile program ingests (fwd truncates, bwd writes)
+
+# Soft-silhouette saturation skip: once EVERY pixel of a tile has
+# log(1-soft) below this, later chunks change the mask by < exp(_LOG_SAT)
+# per face (~1.5e-8) and their gradients are exp-suppressed to the same
+# scale, so the (expensive, ~3x the rest of the body) sigmoid-distance math
+# is skipped.  Entries are depth-sorted, so interior tiles saturate right
+# after the front surface and skip the entire back-face layer.  A single
+# covering face contributes log(1e-7) ~= -16.1, hence -18 is reached after
+# ~2 front-surface chunks.  GOMAVATAR_SOFT_SAT_OFF=1 disables (perf A/B /
+# bit-exactness vs the jnp oracle).
+_LOG_SAT = -18.0
+_SAT_ON = os.environ.get("GOMAVATAR_SOFT_SAT_OFF", "0") != "1"
 
 
 def _bary(chunk, px, py):
@@ -157,7 +170,15 @@ def _fwd_kernel(
         best_z = jnp.minimum(best_z, chunk_min)
 
         if soft:
-            log_om = log_om + _soft_log1m(chunk[0:6, :], px, py, chunk[12:13, :], sigma_px2)
+            def _soft_add(lo):
+                return lo + _soft_log1m(chunk[0:6, :], px, py, chunk[12:13, :], sigma_px2)
+
+            if _SAT_ON:
+                log_om = jax.lax.cond(
+                    jnp.max(log_om) > _LOG_SAT, _soft_add, lambda lo: lo, log_om
+                )
+            else:
+                log_om = _soft_add(log_om)
         return best_z, best_n, log_om
 
     init = (
@@ -221,7 +242,15 @@ def _bwd_kernel(
         z_cand = jnp.where(ok, z_px, _BIG)
         best_z = jnp.minimum(best_z, jnp.min(z_cand, axis=1, keepdims=True))
         if soft:
-            log_om = log_om + _soft_log1m(chunk[0:6, :], px, py, chunk[12:13, :], sigma_px2)
+            def _soft_add(lo):
+                return lo + _soft_log1m(chunk[0:6, :], px, py, chunk[12:13, :], sigma_px2)
+
+            if _SAT_ON:
+                log_om = jax.lax.cond(
+                    jnp.max(log_om) > _LOG_SAT, _soft_add, lambda lo: lo, log_om
+                )
+            else:
+                log_om = _soft_add(log_om)
         return best_z, log_om
 
     best_z, log_om = jax.lax.fori_loop(
@@ -236,7 +265,9 @@ def _bwd_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def body_b(k, claimed):
+    def body_b(k, carry):
+        claimed, log_om_b = carry
+
         @pl.when(k + 1 < nchunks)
         def _():
             get_dma((k + 1) % 2, k + 1).start()
@@ -259,11 +290,27 @@ def _bwd_kernel(
         dchunk_vmem[:] = jnp.zeros((NCH, CHUNK), jnp.float32)
         dchunk_vmem[9:12, :] = d_nsum
         if soft:
-            _, vjp_fn = jax.vjp(
-                lambda c: _soft_log1m(c, px, py, chunk[12:13, :], sigma_px2),
-                chunk[0:6, :],
-            )
-            (d_coords,) = vjp_fn(dL_dS)
+            def _soft_vjp(lo):
+                # the vjp's primal is free — reuse it to track the same
+                # truncated log_om prefix as the forward
+                S, vjp_fn = jax.vjp(
+                    lambda c: _soft_log1m(c, px, py, chunk[12:13, :], sigma_px2),
+                    chunk[0:6, :],
+                )
+                (d_coords,) = vjp_fn(dL_dS)
+                return lo + S, d_coords
+
+            def _soft_skip(lo):
+                # saturated: this chunk was never added in the forward, so
+                # its exact gradient under the truncated objective is zero
+                return lo, jnp.zeros((6, CHUNK), jnp.float32)
+
+            if _SAT_ON:
+                log_om_b, d_coords = jax.lax.cond(
+                    jnp.max(log_om_b) > _LOG_SAT, _soft_vjp, _soft_skip, log_om_b
+                )
+            else:
+                log_om_b, d_coords = _soft_vjp(log_om_b)
             dchunk_vmem[0:6, :] = d_coords
 
         out_dma = pltpu.make_async_copy(
@@ -273,9 +320,12 @@ def _bwd_kernel(
         )
         out_dma.start()
         out_dma.wait()
-        return claimed
+        return claimed, log_om_b
 
-    jax.lax.fori_loop(0, nchunks, body_b, jnp.zeros((P, 1), jnp.float32))
+    jax.lax.fori_loop(
+        0, nchunks, body_b,
+        (jnp.zeros((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+    )
 
 
 # ---------------------------------------------------------------------------

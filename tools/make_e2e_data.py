@@ -207,7 +207,10 @@ def main():
     ap.add_argument("--test_frames", type=int, default=24)
     ap.add_argument("--rings", type=int, default=144)
     ap.add_argument("--segs", type=int, default=48)
+    ap.add_argument("--img", type=int, default=512, help="square image size (tile-aligned)")
     args = ap.parse_args()
+    global IMG
+    IMG = (args.img, args.img)
 
     info = synthetic_body(n_rings=args.rings, n_seg=args.segs)
     print(f"body: {len(info['faces'])} faces, {len(info['canonical_vertex'])} verts")

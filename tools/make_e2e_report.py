@@ -133,11 +133,60 @@ def main():
         w("")
         keys = sorted({k for _, d in rows for k in d})
         w(metric_table(rows, keys))
+
+    # ---- final eval drivers (log_eval_{type}.txt) ----
+    final_rows = []
+    for typ in ("view", "train", "freeview", "pose", "pose_mdm"):
+        path = os.path.join(L, f"log_eval_{typ}.txt")
+        if not os.path.exists(path):
+            continue
+        metrics, budget_ok, refined = [], False, False
+        for line in open(path):
+            m = re.search(r"metrics: (\{.*\})", line)
+            if m:
+                metrics.append(ast.literal_eval(m.group(1)))
+            if "zero dropped entries" in line:
+                budget_ok = True
+            if "using refined poses" in line:
+                refined = True
+        # a second metrics dict in log_eval_view.txt = the refined-pose rerun
+        for j, d in enumerate(metrics):
+            tag = typ if j == 0 else f"{typ}+refined_poses" if refined else f"{typ}#{j}"
+            d = dict(d)
+            d["render_budget"] = "0 drops" if budget_ok else "?"
+            final_rows.append((tag, d))
+    if final_rows:
+        w("")
+        w("## Final eval (cli/evaluate.py, from the trained checkpoint)")
+        w("")
+        keys = sorted({k for _, d in final_rows for k in d})
+        w("| type | " + " | ".join(keys) + " |")
+        w("|" + "---|" * (len(keys) + 1))
+        for tag, d in final_rows:
+            w("| " + tag + " | " + " | ".join(fmt_float(d.get(k, "-")) for k in keys) + " |")
+
+    # ---- test-time pose refinement (log_pose.txt) ----
+    pose_path = os.path.join(L, "log_pose.txt")
+    if os.path.exists(pose_path):
+        pose_rows = []
+        for line in open(pose_path):
+            m = re.search(r"eval \[(\S+)\]: (\{.*\})", line)
+            if m:
+                pose_rows.append((m.group(1), ast.literal_eval(m.group(2))))
+        if pose_rows:
+            w("")
+            w("## Test-time pose refinement (cli/train_pose.py)")
+            w("")
+            keys = sorted({k for _, d in pose_rows for k in d})
+            w("| stage | " + " | ".join(keys) + " |")
+            w("|" + "---|" * (len(keys) + 1))
+            for tag, d in pose_rows:
+                w("| " + tag + " | " + " | ".join(fmt_float(d.get(k, "-")) for k in keys) + " |")
     w("")
     print("\n".join(lines))
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"\n(wrote {args.out}; final-eval + pose tables appended separately)")
+    print(f"\n(wrote {args.out})")
 
 
 if __name__ == "__main__":

@@ -13,18 +13,23 @@
 #   bash tools/run_e2e.sh 2>&1 | tee /tmp/e2e_run.log
 set -e
 export JAX_COMPILATION_CACHE_DIR=~/.cache/jax_gomavatar
-CFG=configs/exps/e2e_synthetic.yaml
-DIR=log/e2e_synthetic
+# Env overrides let tests/test_e2e_chain drive the SAME chain at mini scale
+# on CPU (GOMAVATAR_FORCE_CPU=1 E2E_CFG=... E2E_DIR=... E2E_DATA=...).
+CFG=${E2E_CFG:-configs/exps/e2e_synthetic.yaml}
+DIR=${E2E_DIR:-log/e2e_synthetic}
+DATA=${E2E_DATA:-data/e2e}
+ART=${E2E_ART:-artifacts/e2e_trained.pkl}
+STALL=${E2E_STALL:-1800}
 CKPT=$DIR/checkpoints
-WD="python tools/watchdog_run.py --stall 1800 --retries 4"
+WD="python tools/watchdog_run.py --stall $STALL --retries 4"
 
-[ -d data/e2e/train ] || python tools/make_e2e_data.py --out data/e2e
+[ -d $DATA/train ] || python tools/make_e2e_data.py --out $DATA $E2E_DATAGEN_ARGS
 
 echo "=== train (6000 iters, subdivision @2001, kick-ins 2500/3000) ==="
 $WD --log $DIR/log.txt --retry-arg=--resume -- python train.py --cfg $CFG
 
 echo "=== resume check: replay subdivision, restore, +100 iters ==="
-$WD --log $DIR/log.txt -- python train.py --cfg $CFG --resume --max_iters 6100
+$WD --log $DIR/log.txt -- python train.py --cfg $CFG --resume --max_iters ${E2E_RESUME_ITERS:-6100}
 
 echo "=== eval: novel view (held-out 70deg camera, snapshot protocol) ==="
 $WD --log $DIR/log_eval_view.txt -- python eval.py --cfg $CFG --type view
@@ -33,17 +38,17 @@ echo "=== eval: train views (ZJU evaluator) ==="
 $WD --log $DIR/log_eval_train.txt -- python eval.py --cfg $CFG --type train
 
 echo "=== eval: freeview orbit ==="
-$WD --log $DIR/log_eval_freeview.txt -- python eval.py --cfg $CFG --type freeview --n_frames 30
+$WD --log $DIR/log_eval_freeview.txt -- python eval.py --cfg $CFG --type freeview --n_frames ${E2E_FREEVIEW_FRAMES:-30}
 
 echo "=== test-time pose refinement (6 test frames) ==="
-$WD --log $DIR/log_pose.txt -- python train_pose.py --cfg $CFG --max_frames 6
+$WD --log $DIR/log_pose.txt -- python train_pose.py --cfg $CFG --max_frames ${E2E_POSE_FRAMES:-6}
 
 echo "=== eval with refined poses chained in ==="
 $WD --log $DIR/log_eval_view.txt -- python eval.py --cfg $CFG --type view --pose_path $CKPT/pose.pkl
 
 echo "=== export trained artifact for bench.py ==="
 : > /tmp/export_trained.log
-$WD --log /tmp/export_trained.log -- bash -c "python tools/export_trained.py >> /tmp/export_trained.log 2>&1"
+$WD --log /tmp/export_trained.log -- bash -c "python tools/export_trained.py --cfg $CFG --out $ART >> /tmp/export_trained.log 2>&1"
 cat /tmp/export_trained.log
 
 echo "ALL E2E STAGES DONE"
