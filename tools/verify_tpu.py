@@ -141,6 +141,35 @@ def main():
     for a_, b_, nm in zip(gc, gf, ["verts", "normals"]):
         check(f"mesh compact grad {nm}", a_, b_, 0.0)
 
+    # --- 2c. soft-saturation skip == exact sweep on hardware --------------
+    # (module-global knob: toggle + clear the jit caches so the kernels
+    # retrace; the skip truncates exp-suppressed ~1e-8 contributions)
+    import gomavatar_tpu.ops.mesh_raster_pallas as mrp
+
+    o_sat = rasterize_mesh(
+        verts, normals, faces, K, E, (W, H), soft_mask=True, blur_sigma=1e-4,
+        implementation="pallas",
+    )
+    g_sat = jax.grad(mloss_cap(None), argnums=(0, 1))(verts, normals)
+    mrp._SAT_ON = False
+    mrp._fwd_call.clear_cache()
+    mrp._bwd_call.clear_cache()
+    try:
+        o_ex = rasterize_mesh(
+            verts, normals, faces, K, E, (W, H), soft_mask=True, blur_sigma=1e-4,
+            implementation="pallas",
+        )
+        g_ex = jax.grad(mloss_cap(None), argnums=(0, 1))(verts, normals)
+    finally:
+        mrp._SAT_ON = True
+        mrp._fwd_call.clear_cache()
+        mrp._bwd_call.clear_cache()
+    check("soft-sat fwd normal", o_sat.normal, o_ex.normal, 0.0)
+    check("soft-sat fwd soft", o_sat.soft_mask, o_ex.soft_mask, 1e-6)
+    for a_, b_, nm in zip(g_sat, g_ex, ["verts", "normals"]):
+        scale = float(jnp.max(jnp.abs(b_))) + 1e-12
+        check(f"soft-sat grad {nm}", a_ / scale, b_ / scale, 1e-5)
+
     # --- 3. fused vs unfused on the flagship ------------------------------
     from __graft_entry__ import _flagship
     from gomavatar_tpu.models.gom import gom_forward
@@ -162,6 +191,27 @@ def main():
         status = "OK " if frac > 0.9995 and worst < 5e-3 else "FAIL"
         print(f"[{status}] fused vs unfused {name}: {1-frac:.2e} px > 1e-4, worst {worst:.3g}")
         assert status == "OK ", f"fused vs unfused {name}"
+
+    # --- 3b. 2-term eval cumsum within tolerance of the 3-term default ----
+    import gomavatar_tpu.ops.frame_render as fr
+
+    fr._FAST = 2
+    fr._frame_call.clear_cache()
+    try:
+        rgb_2, mask_2, _ = gom_forward(
+            params, statics, cfg, *args,
+            dst_posevec=batch["dst_posevec"], i_iter=1e7, train=False,
+        )
+    finally:
+        fr._FAST = True
+        fr._frame_call.clear_cache()
+    for name, a, b in (("rgb", rgb_2, rgb_f), ("mask", mask_2, mask_f)):
+        close = jnp.abs(a - b) <= 1e-3
+        frac = float(jnp.mean(close.astype(jnp.float32)))
+        worst = float(jnp.max(jnp.abs(a - b)))
+        status = "OK " if frac > 0.999 and worst < 5e-3 else "FAIL"
+        print(f"[{status}] cumsum-2term vs 3term {name}: {1-frac:.2e} px > 1e-3, worst {worst:.3g}")
+        assert status == "OK ", f"cumsum terms {name}"
 
     # --- 4. sanity --------------------------------------------------------
     assert bool(jnp.all(jnp.isfinite(rgb_f)))
