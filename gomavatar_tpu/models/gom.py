@@ -115,6 +115,15 @@ class GoMConfig:
             return tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()))
 
         cg = model_cfg["canonical_geometry"]
+        # Per-primitive tile budgets scale with face size: splat 3-sigma
+        # radius ~ 1/sqrt(F) of the body's pixel extent, so tile COVERAGE
+        # per face ~ 1/F.  The defaults (16/8) were tuned at subdivided
+        # scale (55k faces); a pre-subdivision phase at base SMPL
+        # resolution (13.8k faces, same 512^2 framing) covers up to ~4x
+        # the tiles per face and would trip the trainer's zero-drop
+        # assert.  Budget ~ area ratio, clamped to [1x, 4x] (sort-key
+        # count M*F stays ~flat across phases).
+        bf = max(1, min(4, round(55000 / max(num_faces, 1))))
         return GoMConfig(
             img_size=tuple(model_cfg["img_size"]),
             num_vertices=num_vertices,
@@ -129,6 +138,8 @@ class GoMConfig:
             non_rigid=tup(model_cfg.get("non_rigid")),
             shadow=tup(model_cfg.get("shadow_module")),
             normal_renderer_sigma=float(model_cfg.get("normal_renderer", {}).get("sigma", 1e-5)),
+            max_tiles_per_gaussian=16 * bf,
+            max_tiles_per_face=8 * bf,
         )
 
     def module_cfg(self, name: str) -> dict | None:
