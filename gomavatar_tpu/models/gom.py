@@ -67,6 +67,22 @@ class GoMStatics(NamedTuple):
     nbr_table: Any
 
 
+# The default tile budgets below (16/8 per primitive, entry buffer factor 4)
+# were tuned at the post-subdivision SMPL face count.  Coverage per face at
+# fixed 512^2 framing scales ~ 1/F (splat 3-sigma radius ~ 1/sqrt(F) of the
+# body's pixel extent), so a coarser phase needs proportionally larger
+# per-primitive budgets while TOTAL entries — and hence N*buffer_factor —
+# stay ~flat.
+_TUNED_FACE_COUNT = 55104  # one midpoint subdivision of SMPL's 13776 faces
+
+
+def tile_budget_factor(num_faces: int) -> int:
+    """Budget multiplier for a phase with ``num_faces`` faces: the face-area
+    ratio vs the tuned scale, ceil'd (over-budget wastes sort slots;
+    under-budget drops entries and zeroes grads), clamped to [1, 4]."""
+    return max(1, min(4, -(-_TUNED_FACE_COUNT // max(num_faces, 1))))
+
+
 @dataclasses.dataclass(frozen=True)
 class GoMConfig:
     """Static scalars; hashable, safe to close over in jit."""
@@ -88,6 +104,12 @@ class GoMConfig:
     splat_impl: str = "auto"
     max_tiles_per_gaussian: int = 16
     max_tiles_per_face: int = 8
+    # entry-buffer sizing for the shared union binning: the repack buffer
+    # holds N * buffer_factor + T * CHUNK entries (ops/splat/binning.py).
+    # Scaled by tile_budget_factor alongside the per-primitive budgets so
+    # real-entry capacity stays ~flat across phases (total coverage is
+    # framing-bound, not face-count-bound).
+    buffer_factor: int = 4
     # fused eval renderer: static cap on non-empty tiles (a 512^2 body view
     # covers ~200 of 1024; overflow is counted in the binning telemetry)
     active_tile_cap: int = 512
@@ -115,15 +137,7 @@ class GoMConfig:
             return tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()))
 
         cg = model_cfg["canonical_geometry"]
-        # Per-primitive tile budgets scale with face size: splat 3-sigma
-        # radius ~ 1/sqrt(F) of the body's pixel extent, so tile COVERAGE
-        # per face ~ 1/F.  The defaults (16/8) were tuned at subdivided
-        # scale (55k faces); a pre-subdivision phase at base SMPL
-        # resolution (13.8k faces, same 512^2 framing) covers up to ~4x
-        # the tiles per face and would trip the trainer's zero-drop
-        # assert.  Budget ~ area ratio, clamped to [1x, 4x] (sort-key
-        # count M*F stays ~flat across phases).
-        bf = max(1, min(4, round(55000 / max(num_faces, 1))))
+        bf = tile_budget_factor(num_faces)
         return GoMConfig(
             img_size=tuple(model_cfg["img_size"]),
             num_vertices=num_vertices,
@@ -140,6 +154,7 @@ class GoMConfig:
             normal_renderer_sigma=float(model_cfg.get("normal_renderer", {}).get("sigma", 1e-5)),
             max_tiles_per_gaussian=16 * bf,
             max_tiles_per_face=8 * bf,
+            buffer_factor=4 * bf,
         )
 
     def module_cfg(self, name: str) -> dict | None:
@@ -264,7 +279,7 @@ def render_frame_eval(
         ub[0], ub[1], ub[2], ub[3], geom.depth, geom.valid,
         cfg.img_size,
         max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
-        buffer_factor=4,
+        buffer_factor=cfg.buffer_factor,
         active_cap=cfg.active_tile_cap,
         flag_boxes=(
             (geom.sx0, geom.sx1, geom.sy0, geom.sy1, geom.valid_splat),
@@ -403,6 +418,7 @@ def gom_forward(
         centroids, cov, verts_obs, faces, K, E, cfg.img_size,
         blur_margin_px=blur_margin_px,
         max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
+        buffer_factor=cfg.buffer_factor,
         dual_faces=statics.dual_faces,
         band0=cfg.binning_band0_train,
         overflow_cap=max(faces.shape[0] // 8, 2048),
@@ -575,5 +591,17 @@ def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):
         new_params["lbs_logits"] = jnp.log(jnp.asarray(new_lbs) + 1e-9)
 
     new_statics = _build_statics(new_faces, new_verts, new_lbs)
-    new_cfg = dataclasses.replace(cfg, num_vertices=N2, num_faces=F2)
+    # Rescale the tile budgets for the new face count (4x coarser coverage
+    # per face before subdivision -> 4x smaller budgets after); scaling by
+    # the factor RATIO preserves any custom absolute tuning in cfg.
+    bf_old = tile_budget_factor(cfg.num_faces)
+    bf_new = tile_budget_factor(F2)
+    new_cfg = dataclasses.replace(
+        cfg,
+        num_vertices=N2,
+        num_faces=F2,
+        max_tiles_per_gaussian=max(1, cfg.max_tiles_per_gaussian * bf_new // bf_old),
+        max_tiles_per_face=max(1, cfg.max_tiles_per_face * bf_new // bf_old),
+        buffer_factor=max(1, cfg.buffer_factor * bf_new // bf_old),
+    )
     return new_params, new_statics, new_cfg

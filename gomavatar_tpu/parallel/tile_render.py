@@ -73,7 +73,7 @@ def make_tile_parallel_render(
             ub[0], ub[1], ub[2], ub[3], geom.depth, geom.valid,
             cfg.img_size,
             max_tiles_per_primitive=cfg.max_tiles_per_gaussian,
-            buffer_factor=4,
+            buffer_factor=cfg.buffer_factor,
             active_cap=A,
             flag_boxes=(
                 (geom.sx0, geom.sx1, geom.sy0, geom.sy1, geom.valid_splat),

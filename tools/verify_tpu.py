@@ -218,6 +218,31 @@ def main():
     cov_frac = float(jnp.mean(mask_f > 0.5))
     print(f"[OK ] flagship coverage {cov_frac:.3f}")
     assert 0.02 < cov_frac < 0.9
+
+    # --- 5. phase-scaled tile budgets: zero-drop at BOTH phases ------------
+    # (ADVICE r3 / VERDICT r3 item 2): the pre-subdivision phase runs with
+    # 4x budgets (64/32, buffer 16) which subdivide_gom rescales to the
+    # tuned 16/8/4 — the e2e train stage relies on both being drop-free at
+    # real 512^2 framing.  Train-path forward so the union binning (splat
+    # radius bbox + blurred triangle bbox) is the one measured.
+    for sub, label in ((False, "base 14.8k"), (True, "subdiv 59k")):
+        p5, s5, c5, b5, _ = _flagship(subdivide=sub)
+        _, m5, aux5 = gom_forward(
+            p5, s5, c5, b5["K"], b5["E"], b5["cnl_gtfms"], b5["dst_Rs"],
+            b5["dst_Ts"], dst_posevec=b5["dst_posevec"], i_iter=1e7, train=True,
+        )
+        t5 = aux5["binning"]
+        db, dbuf, mx = (
+            int(t5.dropped_budget), int(t5.dropped_buffer), int(t5.max_tile_entries)
+        )
+        budgets = (c5.max_tiles_per_gaussian, c5.max_tiles_per_face, c5.buffer_factor)
+        ok = db == 0 and dbuf == 0 and float(jnp.mean(m5 > 0.5)) > 0.02
+        print(
+            f"[{'OK ' if ok else 'FAIL'}] phase budgets {label} {budgets}: "
+            f"dropped_budget={db} dropped_buffer={dbuf} max_tile_entries={mx}"
+        )
+        assert ok, f"phase budgets {label}"
+
     print("ALL TPU CHECKS PASSED")
 
 
