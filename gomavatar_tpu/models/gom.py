@@ -155,6 +155,11 @@ class GoMConfig:
             max_tiles_per_gaussian=16 * bf,
             max_tiles_per_face=8 * bf,
             buffer_factor=4 * bf,
+            # band A must hold a typical face's FULL coverage (~4x larger
+            # per face at a coarse phase) or more primitives spill to band B
+            # than its max(F//8, 2048)-slot cap holds — the spill is counted
+            # (and dropped) as dropped_budget.  band0*N stays ~flat.
+            binning_band0=4 * bf,
         )
 
     def module_cfg(self, name: str) -> dict | None:
@@ -603,5 +608,10 @@ def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):
         max_tiles_per_gaussian=max(1, cfg.max_tiles_per_gaussian * bf_new // bf_old),
         max_tiles_per_face=max(1, cfg.max_tiles_per_face * bf_new // bf_old),
         buffer_factor=max(1, cfg.buffer_factor * bf_new // bf_old),
+        binning_band0=(
+            None
+            if cfg.binning_band0 is None
+            else max(1, cfg.binning_band0 * bf_new // bf_old)
+        ),
     )
     return new_params, new_statics, new_cfg

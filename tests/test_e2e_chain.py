@@ -1,0 +1,119 @@
+"""Mini-scale CPU drive of the FULL e2e chain — the exact ``tools/run_e2e.sh``
+script (VERDICT r3 item 4: the env overrides at run_e2e.sh:16-18 exist for
+precisely this test).  All 8 stages run as real subprocesses at toy scale:
+
+  datagen -> train (subdivision @3, kick-ins @4) -> resume(+2 iters) ->
+  eval view -> eval train -> eval freeview -> train_pose ->
+  eval view --pose_path -> export trained artifact
+
+The full-scale counterpart (512^2, 6k iters, real TPU) is the E2E run
+recorded in E2E.md; this test keeps the CHAIN itself under CI cover so a
+driver-flag or artifact-format change can't silently break the script.
+Reference chain being modeled: train.py -> eval.py -> train_pose.py
+(/root/reference/train.py:309-386, eval.py:336-365, train_pose.py:217-288).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_e2e_chain(tmp_path):
+    data = str(tmp_path / "data")
+    logdir = str(tmp_path / "log")
+    art = str(tmp_path / "trained.pkl")
+    cfg = {
+        "exp_name": "e2e_mini",
+        "log_dir": logdir,
+        "random_bgcolor": True,
+        "bgcolor": [0.0, 0.0, 0.0],
+        "img_size": [64, 64],
+        "dataset": {
+            "train": {"dataset_path": os.path.join(data, "train")},
+            "test_view": {
+                "name": "snapshot",
+                "dataset_path": os.path.join(data, "test"),
+                "skip": 2,
+            },
+            "test_on_train": {"dataset_path": os.path.join(data, "train")},
+            "test_freeview": {
+                "dataset_path": os.path.join(data, "train"),
+                "src_type": "zju_mocap",
+            },
+        },
+        "model": {
+            "img_size": [64, 64],
+            # the schedule mechanisms the big run exercises, compressed to
+            # single digits: subdivision mid-train, both kick-ins, anneal
+            "subdivide_iters": [3],
+            "canonical_geometry": {"deform_so3": True, "deform_scale": True},
+            "normal_renderer": {"name": "mesh"},
+            "shadow_module": {"name": "basic"},
+            "non_rigid": {"name": "basic", "kick_in_iter": 4, "full_band_iter": 6},
+            "pose_refinement": {"name": "basic", "kick_in_iter": 4},
+        },
+        "pose": {"lr": 0.001, "decay": 5, "iters": 4},
+        "train": {
+            "total_iters": 6,
+            "save_freq": 3,
+            "eval_freq": 1000,
+            "log_freq": 1,
+            "tb_freq": 1000,
+            "losses": {
+                "lpips": {"coeff": 0.0},  # LPIPS-on is covered by the 512^2 run
+                "laplacian": {"coeff_observation": 10.0},
+                "normal": {"coeff_mask": 1.0, "mask_dilate": True, "coeff_consist": 0.1},
+                "color_consist": {"coeff": 0.05},
+            },
+        },
+    }
+    cfg_path = str(tmp_path / "e2e_mini.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # single CPU device; no virtual mesh needed
+    env.update(
+        JAX_PLATFORMS="cpu",
+        GOMAVATAR_FORCE_CPU="1",
+        E2E_CFG=cfg_path,
+        E2E_DIR=os.path.join(logdir, "e2e_mini"),
+        E2E_DATA=data,
+        E2E_ART=art,
+        E2E_STALL="900",
+        E2E_DATAGEN_ARGS="--frames 4 --test_frames 4 --rings 12 --segs 8 --img 64",
+        E2E_RESUME_ITERS="8",
+        E2E_FREEVIEW_FRAMES="2",
+        E2E_POSE_FRAMES="1",
+    )
+    r = subprocess.run(
+        ["bash", "tools/run_e2e.sh"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=2400,
+        cwd=REPO,
+    )
+    tail = (r.stdout + r.stderr)[-4000:]
+    assert r.returncode == 0, tail
+    assert "ALL E2E STAGES DONE" in r.stdout, tail
+
+    save_dir = os.path.join(logdir, "e2e_mini")
+    # every stage left its artifact behind
+    assert os.path.exists(art), "export stage: trained artifact missing"
+    assert os.path.exists(os.path.join(save_dir, "checkpoints", "pose.pkl"))
+    for t in ("view", "train"):
+        m = np.load(
+            os.path.join(save_dir, "eval", f"metric_{t}.npy"), allow_pickle=True
+        ).item()
+        assert np.isfinite(m["psnr"]) and m["psnr"] > 0, (t, m)
+    # resume check actually advanced past total_iters
+    ckpts = os.listdir(os.path.join(save_dir, "checkpoints"))
+    assert any(c.startswith("iter_8") for c in ckpts), ckpts

@@ -59,6 +59,11 @@ def test_from_model_cfg_scales_all_budgets():
         assert cfg.max_tiles_per_gaussian == 16 * bf, (faces, cfg.max_tiles_per_gaussian)
         assert cfg.max_tiles_per_face == 8 * bf
         assert cfg.buffer_factor == 4 * bf
+        # eval two-band binning: band A must hold a typical face's full
+        # coverage at every phase, or >overflow_cap primitives spill to
+        # band B and get dropped (the e2e teacher capture tripped this at
+        # 14.4k faces: 3261 entries dropped with band0 stuck at 4)
+        assert cfg.binning_band0 == 4 * bf
 
 
 def _full_model(n_rings, n_seg):
@@ -127,6 +132,7 @@ def test_subdivide_rescales_budgets_and_zero_drop():
     assert cfg2.max_tiles_per_gaussian == 64 * bf1 // bf0 == 32
     assert cfg2.max_tiles_per_face == 32 * bf1 // bf0 == 16
     assert cfg2.buffer_factor == 16 * bf1 // bf0 == 8
+    assert cfg2.binning_band0 == 16 * bf1 // bf0 == 8
 
     db, dbuf = _binning_drops(params2, statics2, cfg2)
     assert db == 0 and dbuf == 0, (cfg2.num_faces, db, dbuf)
