@@ -57,7 +57,12 @@ def evaluate_on(trainer: Trainer, dataset, tb, split: str, random_bgcolor: bool,
     for i in range(n):
         batch = to_device(dataset[i])
         rgb, mask, _ = trainer.forward(batch)
-        pred = unpack(rgb, mask, jnp.asarray(bg), clamp=True)
+        # composite over the SAME background the item's target was composited
+        # with: under random_bgcolor each train item carries its own bg (the
+        # static dataset bg would score the background mismatch, not the
+        # model — reference train.py evaluates with the batch's bgcolor)
+        item_bg = batch.get("bgcolor", None)
+        pred = unpack(rgb, mask, item_bg if item_bg is not None else jnp.asarray(bg), clamp=True)
         evaluator.evaluate(np.asarray(pred), np.asarray(batch["target_rgbs"]))
     means = evaluator.summarize()
     logging.info("evaluate on %s: %s", split, {k: round(v, 4) for k, v in means.items()})

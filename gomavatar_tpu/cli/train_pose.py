@@ -49,11 +49,16 @@ def make_pose_optimizer(gom_cfg, loss_cfg, pose_cfg, n_iters: int):
     def frame_loss(pose_vars, params, statics, lpips_params, batch):
         Rh, Th, poses = pose_vars["Rh"], pose_vars["Th"], pose_vars["poses"]
         dst_Rs, dst_Ts = body_pose_to_body_RTs(poses, batch["dst_tpose_joints"])
+        # train=True: the optimization must run through the training
+        # renderer (custom-VJP splat + soft-silhouette kernels) — the fused
+        # eval Pallas sweep is forward-only (no JVP rule), and the soft mask
+        # is what the reference's pose loss differentiates through anyway
+        # (train_pose.py:227-284 drives the training forward)
         rgb, mask, _ = gom_forward(
             params, statics, gom_cfg,
             batch["K"], batch["E"], batch["cnl_gtfms"], dst_Rs, dst_Ts,
             dst_posevec=poses[3:] + 1e-2,
-            i_iter=1e7, global_R=Rh, global_T=Th, train=False,
+            i_iter=1e7, global_R=Rh, global_T=Th, train=True,
         )
         rgb_u = unpack(rgb, mask, batch["bgcolor"])
         loss = jnp.mean(jnp.abs(rgb_u - batch["target_rgbs"])) * loss_cfg["rgb"]["coeff"]

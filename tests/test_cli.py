@@ -172,3 +172,60 @@ def test_pose_refine_to_eval_roundtrip(workspace):
     assert "metrics:" in log
     # snapshot protocol + budget summary lines present
     assert "render budgets" in log or "RENDER BUDGET" in log
+
+
+def test_evaluate_on_composites_over_item_bgcolor(monkeypatch):
+    """Under train.random_bgcolor each GT item is composited over its own
+    random background (data/dataset.py:274,317); evaluate_on must composite
+    the prediction over the SAME per-item background or the metric scores
+    the background mismatch instead of the model (the reference evaluates
+    with the batch's bgcolor, train.py:53-55)."""
+    import jax.numpy as jnp
+
+    from gomavatar_tpu.cli import train as train_cli
+
+    H = W = 8
+    rng = np.random.default_rng(0)
+    fg = rng.random((H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), np.float32)
+    mask[2:6, 2:6] = 1.0
+    item_bg = np.array([0.9, 0.1, 0.5], np.float32)
+    target = fg * mask[..., None] + item_bg * (1.0 - mask[..., None])
+
+    class DS:
+        bgcolor = (0.0, 0.0, 0.0)  # static eval bg != the item's bg
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return {"bgcolor": item_bg, "target_rgbs": target}
+
+    class StubTrainer:
+        lpips_params = None
+        lpips_calibrated = False
+
+        def forward(self, batch):
+            return jnp.asarray(fg), jnp.asarray(mask), None
+
+    captured = {}
+
+    class CaptureEvaluator:
+        def __init__(self, **kw):
+            pass
+
+        def evaluate(self, pred, gt):
+            captured["pred"], captured["gt"] = pred, gt
+
+        def summarize(self):
+            return {}
+
+    monkeypatch.setattr(train_cli, "Evaluator", CaptureEvaluator)
+
+    class NullTB:
+        def summ_scalar(self, *a, **k):
+            pass
+
+    train_cli.evaluate_on(StubTrainer(), DS(), NullTB(), "test_on_train", True)
+    # prediction composited over the item's own background == GT exactly
+    np.testing.assert_allclose(captured["pred"], captured["gt"], atol=1e-5)

@@ -98,7 +98,7 @@ def main():
 
     lines = []
     w = lines.append
-    w("# E2E — full compressed training schedule on TPU (round 3)")
+    w("# E2E — full compressed training schedule on TPU (round 4)")
     w("")
     w("The complete ZJU recipe (subdivision, pose-refinement kick-in,")
     w("non-rigid Hann anneal, LPIPS loss, exponential lr decay) compressed")
@@ -113,7 +113,10 @@ def main():
     w("")
     for kind, it, info in events:
         if not kind.startswith("eval:"):
-            w(f"* iter {it}: **{kind}** ({info})")
+            # the resume check replays subdivision at its own iter 0 before
+            # restoring; label it so it doesn't read like a schedule event
+            tag = " (resume-check replay)" if kind == "subdivide" and it == 0 else ""
+            w(f"* iter {it}: **{kind}** ({info}){tag}")
     w(f"* pose-refinement kick-in: iter 2500; non-rigid Hann anneal: 3000 -> 4000 (config)")
     w(f"* binning drops across ALL logged train steps: **{int(drops_total)}**")
     if rates:
@@ -133,6 +136,24 @@ def main():
         w("")
         keys = sorted({k for _, d in rows for k in d})
         w(metric_table(rows, keys))
+        # flag the known in-train compositing mismatch if this run predates
+        # the fix: under train.random_bgcolor each GT item carries its own
+        # random background, but evaluate_on used to composite predictions
+        # over the static eval background — scoring the background delta,
+        # not the model (cli/train.py now composites over the item's own bg)
+        if split == "test_on_train" and evals.get("test"):
+            tr = max(d.get("psnr", 0) for _, d in rows)
+            te = max(d.get("psnr", 0) for _, d in evals["test"])
+            if te - tr > 8:
+                w("")
+                w("*This run predates the `evaluate_on` background fix: with"
+                  " `train.random_bgcolor` the GT items carry per-item random"
+                  " backgrounds while predictions were composited over the"
+                  " static eval background, so the numbers above measure the"
+                  " background mismatch, not the model. The standalone"
+                  " `eval --type train` row in the final table (fixed"
+                  " background on both sides) is the meaningful train-view"
+                  " score; the held-out `test` eval was never affected.*")
 
     # ---- final eval drivers (log_eval_{type}.txt) ----
     final_rows = []
@@ -140,20 +161,39 @@ def main():
         path = os.path.join(L, f"log_eval_{typ}.txt")
         if not os.path.exists(path):
             continue
-        metrics, budget_ok, refined = [], False, False
+        # one appended log section per driver invocation, delimited by the
+        # JAX platform banner each process prints at startup; within a run
+        # the budget summary ("render budget overflow on N frames (M entries
+        # total)" / "zero dropped entries") precedes the optional metrics
+        # line (freeview has no GT, hence no metrics)
+        runs, cur = [], None
         for line in open(path):
+            if "Platform 'axon'" in line or "Platform 'cpu'" in line:
+                if cur:
+                    runs.append(cur)
+                cur = {}
+                continue
+            if cur is None:
+                cur = {}
             m = re.search(r"metrics: (\{.*\})", line)
             if m:
-                metrics.append(ast.literal_eval(m.group(1)))
+                cur["metrics"] = ast.literal_eval(m.group(1))
+            m = re.search(r"render budget overflow on \d+ frames \((\d+) entries total\)", line)
+            if m:
+                cur["drops"] = int(m.group(1))
             if "zero dropped entries" in line:
-                budget_ok = True
+                cur["drops"] = 0
             if "using refined poses" in line:
-                refined = True
-        # a second metrics dict in log_eval_view.txt = the refined-pose rerun
-        for j, d in enumerate(metrics):
-            tag = typ if j == 0 else f"{typ}+refined_poses" if refined else f"{typ}#{j}"
-            d = dict(d)
-            d["render_budget"] = "0 drops" if budget_ok else "?"
+                cur["refined"] = True
+        if cur:
+            runs.append(cur)
+        for j, r in enumerate(runs):
+            if not r:
+                continue
+            tag = typ if j == 0 else (
+                f"{typ}+refined_poses" if r.get("refined") else f"{typ}#{j}")
+            d = dict(r.get("metrics", {}))
+            d["dropped_entries"] = r.get("drops", "?")
             final_rows.append((tag, d))
     if final_rows:
         w("")
@@ -168,11 +208,14 @@ def main():
     # ---- test-time pose refinement (log_pose.txt) ----
     pose_path = os.path.join(L, "log_pose.txt")
     if os.path.exists(pose_path):
-        pose_rows = []
+        # watchdog retries append to the same log; keep only the last
+        # occurrence of each stage (the completed attempt)
+        pose_by_stage = {}
         for line in open(pose_path):
             m = re.search(r"eval \[(\S+)\]: (\{.*\})", line)
             if m:
-                pose_rows.append((m.group(1), ast.literal_eval(m.group(2))))
+                pose_by_stage[m.group(1)] = ast.literal_eval(m.group(2))
+        pose_rows = list(pose_by_stage.items())
         if pose_rows:
             w("")
             w("## Test-time pose refinement (cli/train_pose.py)")

@@ -243,6 +243,42 @@ def main():
         )
         assert ok, f"phase budgets {label}"
 
+    # --- 6. pose-refinement differentiability (train_pose.py frame_loss) --
+    # The fused eval renderer is forward-only Pallas (no JVP rule) — pose
+    # refinement must differentiate the TRAIN renderer.  Compile + run one
+    # value_and_grad of the full pose-vars -> FK -> render -> loss chain on
+    # hardware, the exact program cli/train_pose.py scans (caught live: a
+    # train=False forward here crashed the E2E chain in the JVP rule).
+    from gomavatar_tpu.models.smpl import synthetic_body
+    from gomavatar_tpu.ops.skeleton import body_pose_to_body_RTs
+
+    p6, s6, c6, b6, _ = _flagship(img_size=(128, 128), subdivide=False, rings=(24, 24))
+    joints6 = jnp.asarray(synthetic_body(n_rings=24, n_seg=24)["canonical_joints"])
+
+    def pose_loss(pose_vars):
+        dst_Rs6, dst_Ts6 = body_pose_to_body_RTs(pose_vars["poses"], joints6)
+        rgb6, mask6, _ = gom_forward(
+            p6, s6, c6, b6["K"], b6["E"], b6["cnl_gtfms"], dst_Rs6, dst_Ts6,
+            dst_posevec=pose_vars["poses"][3:] + 1e-2, i_iter=1e7,
+            global_R=pose_vars["Rh"], global_T=pose_vars["Th"], train=True,
+        )
+        return jnp.mean(jnp.abs(rgb6)) + jnp.mean(mask6)
+
+    pv = {"Rh": jnp.zeros(3), "Th": jnp.zeros(3),
+          "poses": jnp.full((72,), 0.05, jnp.float32)}
+    loss6, g6 = jax.jit(jax.value_and_grad(pose_loss))(pv)
+    leaves6 = jax.tree_util.tree_leaves(g6)
+    finite6 = bool(jnp.isfinite(loss6)) and all(
+        bool(jnp.all(jnp.isfinite(v))) for v in leaves6
+    )
+    gnorm6 = float(sum(jnp.sum(v**2) for v in leaves6)) ** 0.5
+    ok6 = finite6 and gnorm6 > 0
+    print(
+        f"[{'OK ' if ok6 else 'FAIL'}] pose-path value_and_grad (train "
+        f"renderer): loss {float(loss6):.4f}, grad norm {gnorm6:.3g}"
+    )
+    assert ok6, "pose-path grad"
+
     print("ALL TPU CHECKS PASSED")
 
 
