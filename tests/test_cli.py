@@ -72,22 +72,28 @@ def run_cli(module, *args):
     )
 
 
-def test_train_cli(workspace):
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Run the train CLI once per module; every checkpoint-consuming test
+    depends on this explicitly so any subset selection passes standalone."""
     r = run_cli("gomavatar_tpu.cli.train", "--cfg", workspace["cfg_path"])
     assert r.returncode == 0, r.stderr[-3000:]
+    return r
+
+
+def test_train_cli(workspace, trained):
     ckpts = os.listdir(str(workspace["root"] / "log" / "cli_smoke" / "checkpoints"))
     assert any(c.startswith("iter_") for c in ckpts)
 
 
-def test_eval_cli_view(workspace):
-    # depends on test_train_cli having produced a checkpoint
+def test_eval_cli_view(workspace, trained):
     r = run_cli("gomavatar_tpu.cli.evaluate", "--cfg", workspace["cfg_path"], "--type", "view")
     assert r.returncode == 0, r.stderr[-3000:]
     out = str(workspace["root"] / "log" / "cli_smoke" / "eval" / "view")
     assert len(os.listdir(out)) == 3  # one PNG per frame
 
 
-def test_eval_cli_freeview(workspace):
+def test_eval_cli_freeview(workspace, trained):
     r = run_cli(
         "gomavatar_tpu.cli.evaluate", "--cfg", workspace["cfg_path"],
         "--type", "freeview", "--n_frames", "2",
@@ -97,7 +103,7 @@ def test_eval_cli_freeview(workspace):
     assert len(os.listdir(out)) == 2
 
 
-def test_train_pose_cli(workspace):
+def test_train_pose_cli(workspace, trained):
     r = run_cli(
         "gomavatar_tpu.cli.train_pose", "--cfg", workspace["cfg_path"], "--max_frames", "1"
     )
@@ -146,7 +152,7 @@ def test_animate_rejects_mixed_subdivision_phases():
         check_homogeneous_scenes([pack_a, pack_b])
 
 
-def test_train_cli_data_parallel(workspace):
+def test_train_cli_data_parallel(workspace, trained):
     r = run_cli(
         "gomavatar_tpu.cli.train", "--cfg", workspace["cfg_path"],
         "--data_parallel", "2", "--max_iters", "2",
@@ -154,7 +160,7 @@ def test_train_cli_data_parallel(workspace):
     assert r.returncode == 0, r.stderr[-3000:]
 
 
-def test_pose_refine_to_eval_roundtrip(workspace):
+def test_pose_refine_to_eval_roundtrip(workspace, trained):
     """train_pose -> eval --pose_path chain (the reference's pose.pt
     re-consumption workflow, train_pose.py:290-296 + eval.py:31-77)."""
     r = run_cli(
