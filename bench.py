@@ -31,16 +31,16 @@ BASELINE_FPS = 43.0
 TRAINED = os.path.join(os.path.dirname(__file__), "artifacts", "e2e_trained.pkl")
 
 
-def _trained_entry():
-    """(fn, args) on the TRAINED E2E avatar (tools/export_trained.py):
-    learned albedo/geometry/so3/scale + all MLPs, a real animation pose —
-    representative splat scales and tile occupancy, unlike the uniform
-    untrained flagship (VERDICT r2 weak #2)."""
+def _trained_scene():
+    """(params, statics, gom_cfg, frame, iter) from the TRAINED E2E avatar
+    (tools/export_trained.py): learned albedo/geometry/so3/scale + all MLPs,
+    a real animation pose — representative splat scales and tile occupancy,
+    unlike the uniform untrained flagship (VERDICT r2 weak #2)."""
     import pickle
 
     import jax.numpy as jnp
 
-    from gomavatar_tpu.models.gom import init_gom, subdivide_gom, gom_forward
+    from gomavatar_tpu.models.gom import init_gom, subdivide_gom
     from gomavatar_tpu.models.smpl import synthetic_body
 
     with open(TRAINED, "rb") as f:
@@ -56,6 +56,14 @@ def _trained_entry():
     )
     params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
     fr = {k: jnp.asarray(v) for k, v in blob["frame"].items()}
+    return params, statics, gom_cfg, fr, blob["iter"]
+
+
+def _trained_entry():
+    """(fn, args, n_faces, iter) — jittable full forward on the trained scene."""
+    from gomavatar_tpu.models.gom import gom_forward
+
+    params, statics, gom_cfg, fr, it = _trained_scene()
 
     def forward(params, statics, K, E, cnl_gtfms, dst_Rs, dst_Ts, dst_posevec):
         rgb, mask, aux = gom_forward(
@@ -70,7 +78,7 @@ def _trained_entry():
         params, statics, fr["K"], fr["E"], fr["cnl_gtfms"],
         fr["dst_Rs"], fr["dst_Ts"], fr["dst_posevec"],
     )
-    return forward, args, blob["num_faces"], blob["iter"]
+    return forward, args, gom_cfg.num_faces, it
 
 
 def _regression_gate():

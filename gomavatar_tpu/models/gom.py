@@ -75,6 +75,13 @@ class GoMStatics(NamedTuple):
 # stay ~flat.
 _TUNED_FACE_COUNT = 55104  # one midpoint subdivision of SMPL's 13776 faces
 
+# Floor on the per-gaussian budget at ANY phase: training grows splat scales
+# well past the untrained coverage the 16/phase-factor rule was tuned on —
+# the trained E2E avatar (57600 faces) drops 77 entries at budget 16 and
+# needs 32 for zero-drop at +0 FPS cost (tools/tune_trained_budgets.py sweep
+# + tools/bench_train.py A/B, recorded in BENCH_NOTES.md).
+_MTG_FLOOR = 32
+
 
 def tile_budget_factor(num_faces: int) -> int:
     """Budget multiplier for a phase with ``num_faces`` faces: the face-area
@@ -118,9 +125,10 @@ class GoMConfig:
     # band of max(F // 8, 2048) slots x (max_tiles_per_gaussian - band0).
     # ~2.9x fewer sort keys at flagship occupancy; None = single-band.
     binning_band0: int | None = 4
-    # same for the train-path union binning (default off until the E2E
-    # schedule is re-measured with it; flagship train coverage fits band A:
-    # 182k entries, zero faces over 4 tiles at the 3.5px blur margin)
+    # same for the train-path union binning (promoted round 4: 67.1 vs
+    # 69.0 ms/step at flagship scale — the A/B table lives in BENCH_NOTES;
+    # from_model_cfg sets 4*bf, this raw-construction default stays None
+    # so kernel unit tests exercise the single-band layout too)
     binning_band0_train: int | None = None
     # compacted-tile grids for the TRAIN Pallas kernels (splat + mesh
     # fwd/bwd): saves the ~1.4-2 us/program overhead of every empty tile
@@ -152,9 +160,10 @@ class GoMConfig:
             non_rigid=tup(model_cfg.get("non_rigid")),
             shadow=tup(model_cfg.get("shadow_module")),
             normal_renderer_sigma=float(model_cfg.get("normal_renderer", {}).get("sigma", 1e-5)),
-            max_tiles_per_gaussian=16 * bf,
+            max_tiles_per_gaussian=max(_MTG_FLOOR, 16 * bf),
             max_tiles_per_face=8 * bf,
             buffer_factor=4 * bf,
+            binning_band0_train=4 * bf,
             # band A must hold a typical face's FULL coverage (~4x larger
             # per face at a coarse phase) or more primitives spill to band B
             # than its max(F//8, 2048)-slot cap holds — the spill is counted
@@ -605,13 +614,21 @@ def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):
         cfg,
         num_vertices=N2,
         num_faces=F2,
-        max_tiles_per_gaussian=max(1, cfg.max_tiles_per_gaussian * bf_new // bf_old),
+        # the floor keeps the rescaled budget consistent with what
+        # from_model_cfg would compute from scratch at the new face count
+        # (trained splat coverage needs >= _MTG_FLOOR at every phase)
+        max_tiles_per_gaussian=max(_MTG_FLOOR, cfg.max_tiles_per_gaussian * bf_new // bf_old),
         max_tiles_per_face=max(1, cfg.max_tiles_per_face * bf_new // bf_old),
         buffer_factor=max(1, cfg.buffer_factor * bf_new // bf_old),
         binning_band0=(
             None
             if cfg.binning_band0 is None
             else max(1, cfg.binning_band0 * bf_new // bf_old)
+        ),
+        binning_band0_train=(
+            None
+            if cfg.binning_band0_train is None
+            else max(1, cfg.binning_band0_train * bf_new // bf_old)
         ),
     )
     return new_params, new_statics, new_cfg

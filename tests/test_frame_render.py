@@ -23,7 +23,7 @@ from gomavatar_tpu.ops.skeleton import (
 IMG = (64, 64)
 
 
-def _scene(shadow=True, seed=0):
+def _scene(shadow=True, seed=0, rings=(10, 12)):
     # pose-refinement/non-rigid off: they run BEFORE the renderer inputs
     # (verts_obs) which these tests construct directly
     cfg = default_cfg()
@@ -35,7 +35,7 @@ def _scene(shadow=True, seed=0):
     m["normal_renderer"]["name"] = "mesh"
     m["canonical_geometry"]["deform_so3"] = True
     m["canonical_geometry"]["deform_scale"] = True
-    info = synthetic_body(n_rings=10, n_seg=12)
+    info = synthetic_body(n_rings=rings[0], n_seg=rings[1])
     params, statics, gom_cfg = init_gom(jax.random.PRNGKey(seed), m, info)
     # non-trivial local rotations/scales so the Steiner path is exercised
     k = jax.random.PRNGKey(seed + 1)

@@ -56,7 +56,12 @@ def test_from_model_cfg_scales_all_budgets():
     # with N and trips the same zero-drop assert it was meant to fix)
     for faces, bf in ((13776, 4), (20908, 3), (55104, 1)):
         cfg = _cfg_at(faces)
-        assert cfg.max_tiles_per_gaussian == 16 * bf, (faces, cfg.max_tiles_per_gaussian)
+        # per-gaussian budget: phase factor with a floor of 32 — the TRAINED
+        # E2E avatar drops 77 entries at 16 and needs 32 for zero-drop
+        # (tools/tune_trained_budgets.py sweep, BENCH_NOTES round-4 table)
+        assert cfg.max_tiles_per_gaussian == max(32, 16 * bf), (
+            faces, cfg.max_tiles_per_gaussian,
+        )
         assert cfg.max_tiles_per_face == 8 * bf
         assert cfg.buffer_factor == 4 * bf
         # eval two-band binning: band A must hold a typical face's full
@@ -64,6 +69,9 @@ def test_from_model_cfg_scales_all_budgets():
         # band B and get dropped (the e2e teacher capture tripped this at
         # 14.4k faces: 3261 entries dropped with band0 stuck at 4)
         assert cfg.binning_band0 == 4 * bf
+        # train-path two-band binning (promoted round 4: 67.1 vs 69.0
+        # ms/step single-band at flagship scale, BENCH_NOTES A/B table)
+        assert cfg.binning_band0_train == 4 * bf
 
 
 def _full_model(n_rings, n_seg):
@@ -128,14 +136,36 @@ def test_subdivide_rescales_budgets_and_zero_drop():
     assert cfg2.num_faces == 4 * f0
     assert bf1 == 2
     # budgets rescaled by the factor ratio (ADVICE r3 medium #1: they used
-    # to persist at 64/32 into the subdivided phase)
-    assert cfg2.max_tiles_per_gaussian == 64 * bf1 // bf0 == 32
+    # to persist at 64/32 into the subdivided phase); the per-gaussian
+    # budget floors at 32 = what from_model_cfg computes from scratch here
+    assert cfg2.max_tiles_per_gaussian == max(32, 64 * bf1 // bf0) == 32
     assert cfg2.max_tiles_per_face == 32 * bf1 // bf0 == 16
     assert cfg2.buffer_factor == 16 * bf1 // bf0 == 8
     assert cfg2.binning_band0 == 16 * bf1 // bf0 == 8
+    assert cfg2.binning_band0_train == 16 * bf1 // bf0 == 8
 
     db, dbuf = _binning_drops(params2, statics2, cfg2)
     assert db == 0 and dbuf == 0, (cfg2.num_faces, db, dbuf)
+
+
+def test_replayed_budgets_match_fresh_config():
+    """resume/load_for_eval replay subdivision from the base mesh; the
+    rescale-with-floor must land on exactly the budgets from_model_cfg
+    would compute from scratch at the final face count, or a resumed run
+    silently trains under different binning than a fresh one."""
+    # 96x36 rings: the subdivision crosses a factor boundary (bf 4 -> 2),
+    # so the ratio rescale + floor actually has to agree with from_scratch
+    info, params, statics, cfg = _full_model(n_rings=96, n_seg=36)
+    _, _, cfg2 = subdivide_gom(params, statics, cfg)
+    fresh = _cfg_at(cfg2.num_faces)
+    for field in (
+        "max_tiles_per_gaussian",
+        "max_tiles_per_face",
+        "buffer_factor",
+        "binning_band0",
+        "binning_band0_train",
+    ):
+        assert getattr(cfg2, field) == getattr(fresh, field), field
 
 
 def test_subdivide_preserves_custom_budgets_when_factor_unchanged():

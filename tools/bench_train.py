@@ -32,17 +32,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--band0", type=int, default=0, help="0 = single-band")
     ap.add_argument("--active_cap", type=int, default=0, help="0 = full raster")
+    ap.add_argument("--mtg", type=int, default=0, help="0 = config default")
+    ap.add_argument("--skip_lpips", action="store_true",
+                    help="A/B mode: the VGG stack's cost is independent of "
+                    "the binning/budget knobs and its compile dominates the "
+                    "run — skip it when only the knob delta matters")
     flags = ap.parse_args()
 
     params, statics, gom_cfg, batch, cfg = _flagship()
-    if flags.band0 or flags.active_cap:
+    if flags.band0 or flags.active_cap or flags.mtg:
         gom_cfg = dataclasses.replace(
             gom_cfg,
             binning_band0_train=flags.band0 or None,
             train_active_tile_cap=flags.active_cap or None,
+            max_tiles_per_gaussian=flags.mtg or gom_cfg.max_tiles_per_gaussian,
         )
         print(f"flags: band0={gom_cfg.binning_band0_train} "
-              f"active_cap={gom_cfg.train_active_tile_cap}", flush=True)
+              f"active_cap={gom_cfg.train_active_tile_cap} "
+              f"mtg={gom_cfg.max_tiles_per_gaussian}", flush=True)
     tcfg = cfg["train"]
     loss_cfg = tcfg["losses"]
     loss_cfg["laplacian"]["coeff_observation"] = 10.0
@@ -54,7 +61,8 @@ def main():
     tx = make_optimizer(tcfg, params)
     opt_state = tx.init(params)
 
-    for use_lpips, label in [(False, "no-LPIPS"), (True, "with-LPIPS")]:
+    cases = [(False, "no-LPIPS")] if flags.skip_lpips else [(False, "no-LPIPS"), (True, "with-LPIPS")]
+    for use_lpips, label in cases:
         loss_cfg["lpips"]["coeff"] = 1.0 if use_lpips else 0.0
         lp = lpips_lib.load_lpips("vgg")[0] if use_lpips else None
         step = make_train_step(gom_cfg, loss_cfg, tx)

@@ -62,12 +62,12 @@ def main():
     from gomavatar_tpu.ops.frame_render import render_frame_sorted, _frame_call
 
     if args.trained:
-        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-        from bench import _trained_entry  # noqa: builds params from the artifact
+        from bench import _trained_scene  # builds params from the artifact
 
-        raise SystemExit("--trained: use bench.py for end-to-end; stage "
-                         "breakdown currently profiles the flagship scene")
-    params, statics, cfg, batch, _ = _flagship()
+        params, statics, cfg, batch, it = _trained_scene()
+        print(f"scene: TRAINED e2e avatar (iter {it})", file=sys.stderr)
+    else:
+        params, statics, cfg, batch, _ = _flagship()
     if args.band0 >= 0:
         import dataclasses
 
