@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -59,16 +58,17 @@ _BIG = 1e10
 NCMAX = 64  # max CHUNK-sized entry chunks a tile sweep ingests (segments
 # beyond NCMAX*CHUNK entries are clamped; binning telemetry detects it)
 
-GROUP = int(os.environ.get("GOMAVATAR_FRAME_GROUP", "4"))  # tile slots per
-# kernel program (amortizes ~1.4 us/program of grid/pipeline overhead
-# measured on the v5e across 4 sweeps); env override for perf A/B only
+GROUP = 4  # tile slots per kernel program (amortizes ~1.4 us/program of
+# grid/pipeline overhead).  Adjudicated r5 (BENCH_NOTES flag table): 1/2/4/8
+# all land 9.3-9.4 ms on the 512^2 flagship — grouping is free but not
+# load-bearing at this scale; the env A/B knob was removed.
 
 # bf16-split terms of the transmittance cumsum matmul (the kernel's largest
 # MXU cost, one (256,128)x(128,128) pass per term per chunk).  3 terms is
-# ~2^-24 relative; 2 terms (~2^-16, <0.01/255 on the blend) saves one MXU
-# pass per chunk.  Eval-only A/B knob — the train kernels keep 3 terms.
-CUMSUM_TERMS = int(os.environ.get("GOMAVATAR_EVAL_CUMSUM_TERMS", "3"))
-_FAST = True if CUMSUM_TERMS == 3 else CUMSUM_TERMS
+# ~2^-24 relative.  Adjudicated r5: the 2-term variant measured SLOWER
+# (11.47 vs 9.21 ms — the narrower split breaks the fused layout), so the
+# GOMAVATAR_EVAL_CUMSUM_TERMS knob was removed; 3 terms is the only path.
+_FAST = True
 
 
 def _frame_kernel(
@@ -302,14 +302,11 @@ def render_frame_sorted(
     TX, TY = bins.num_tiles_x, bins.num_tiles_y
     with_shadow = shading0 is not None
     with_mesh = with_shadow or with_normal
-    if os.environ.get("GOMAVATAR_WIDE_GATHER", "0") == "1":
-        # perf A/B: scalar-row gathers are row-overhead bound on TPU; pad
-        # the table to 128 lanes so each gathered row is one full-lane copy
-        # (trades ~5x HBM traffic for ~9x lower per-row overhead)
-        pad = jnp.zeros((table.shape[0], 128 - table.shape[1]), table.dtype)
-        entries = jnp.concatenate([table, pad], axis=1)[bins.order][:, : table.shape[1]].T
-    else:
-        entries = table[bins.order].T  # (NCH, Dcap) — the only data gather
+    # (NCH, Dcap) — the only data gather.  Adjudicated r5: a 128-lane-padded
+    # "wide" gather (5x HBM traffic for lower per-row overhead) measured
+    # dead even (9.24 vs 9.27 ms on the 512^2 flagship — BENCH_NOTES flag
+    # table), so the narrow gather stays and the env knob was removed.
+    entries = table[bins.order].T
     # fold the per-pass flags into the entry stream (see module docstring)
     entries = entries.at[5].multiply(bins.entry_splat)
     entries = entries.at[18].multiply(bins.entry_mesh)

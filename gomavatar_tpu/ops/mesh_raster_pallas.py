@@ -48,7 +48,10 @@ NCMAX = 64  # max chunks a tile program ingests (fwd truncates, bwd writes)
 # after the front surface and skip the entire back-face layer.  A single
 # covering face contributes log(1e-7) ~= -16.1, hence -18 is reached after
 # ~2 front-surface chunks.  GOMAVATAR_SOFT_SAT_OFF=1 disables (perf A/B /
-# bit-exactness vs the jnp oracle).
+# bit-exactness vs the jnp oracle).  Adjudicated r5 (BENCH_NOTES flag
+# table): skip ON 67.55 vs OFF 68.03 ms/step on the 55k-face flagship,
+# loss-neutral — the skip stays default; the flag survives as the
+# oracle-exactness debug switch.
 _LOG_SAT = -18.0
 _SAT_ON = os.environ.get("GOMAVATAR_SOFT_SAT_OFF", "0") != "1"
 
