@@ -28,35 +28,43 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FPS = 43.0
 
-TRAINED = os.path.join(os.path.dirname(__file__), "artifacts", "e2e_trained.pkl")
+TRAINED = os.path.join(os.path.dirname(__file__), "artifacts", "e2e_trained.npz")
 
 
 def _trained_scene():
     """(params, statics, gom_cfg, frame, iter) from the TRAINED E2E avatar
-    (tools/export_trained.py): learned albedo/geometry/so3/scale + all MLPs,
-    a real animation pose — representative splat scales and tile occupancy,
-    unlike the uniform untrained flagship (VERDICT r2 weak #2)."""
-    import pickle
+    (tools/export_trained.py — flat npz, no pickle on a checked-in file):
+    learned albedo/geometry/so3/scale + all MLPs, a real animation pose —
+    representative splat scales and tile occupancy, unlike the uniform
+    untrained flagship (VERDICT r2 weak #2)."""
+    import json
 
+    import numpy as np
     import jax.numpy as jnp
 
     from gomavatar_tpu.models.gom import init_gom, subdivide_gom
     from gomavatar_tpu.models.smpl import synthetic_body
 
-    with open(TRAINED, "rb") as f:
-        blob = pickle.load(f)
-    info = synthetic_body(**blob["body"])
+    npz = np.load(TRAINED)
+    meta = json.loads(str(npz["meta"]))
+    info = synthetic_body(**meta["body"])
     params, statics, gom_cfg = init_gom(
-        jax.random.PRNGKey(0), blob["model_cfg"], info
+        jax.random.PRNGKey(0), meta["model_cfg"], info
     )
-    for _ in range(blob["phase"]):
+    for _ in range(meta["phase"]):
         params, statics, gom_cfg = subdivide_gom(params, statics, gom_cfg)
-    assert gom_cfg.num_faces == blob["num_faces"], (
-        f"mesh generator drift: {gom_cfg.num_faces} vs {blob['num_faces']}"
+    assert gom_cfg.num_faces == meta["num_faces"], (
+        f"mesh generator drift: {gom_cfg.num_faces} vs {meta['num_faces']}"
     )
-    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
-    fr = {k: jnp.asarray(v) for k, v in blob["frame"].items()}
-    return params, statics, gom_cfg, fr, blob["iter"]
+    from tools.export_trained import unflatten_params
+
+    params = jax.tree_util.tree_map(jnp.asarray, unflatten_params(npz))
+    fr = {
+        k.split("/", 1)[1]: jnp.asarray(npz[k])
+        for k in npz.files
+        if k.startswith("frame/")
+    }
+    return params, statics, gom_cfg, fr, meta["iter"]
 
 
 def _trained_entry():

@@ -47,7 +47,7 @@ def _time(fn, args, n, name):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trained", action="store_true",
-                    help="use artifacts/e2e_trained.pkl instead of the flagship")
+                    help="use artifacts/e2e_trained.npz instead of the flagship")
     ap.add_argument("--band0", type=int, default=-1,
                     help="two-band binning band0 (-1 = GoMConfig default, 0 = single-band)")
     ap.add_argument("--iters", type=int, default=50)

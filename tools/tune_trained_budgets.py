@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import pickle
 import sys
 import time
 
@@ -27,21 +26,11 @@ os.environ.setdefault(
 import jax
 import jax.numpy as jnp
 
-TRAINED = os.path.join(os.path.dirname(__file__), "..", "artifacts", "e2e_trained.pkl")
-
-
 def main():
-    from gomavatar_tpu.models.gom import init_gom, subdivide_gom, gom_forward
-    from gomavatar_tpu.models.smpl import synthetic_body
+    from gomavatar_tpu.models.gom import gom_forward
+    from bench import _trained_scene  # loads artifacts/e2e_trained.npz
 
-    with open(TRAINED, "rb") as f:
-        blob = pickle.load(f)
-    info = synthetic_body(**blob["body"])
-    params, statics, gom_cfg = init_gom(jax.random.PRNGKey(0), blob["model_cfg"], info)
-    for _ in range(blob["phase"]):
-        params, statics, gom_cfg = subdivide_gom(params, statics, gom_cfg)
-    params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
-    fr = {k: jnp.asarray(v) for k, v in blob["frame"].items()}
+    params, statics, gom_cfg, fr, _it = _trained_scene()
 
     settings = [
         # (max_tiles_per_gaussian, band0, active_tile_cap)
