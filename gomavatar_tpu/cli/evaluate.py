@@ -97,8 +97,8 @@ def build_dataset(cfg, args):
         d = cfg["dataset"]["test_view"]
         if d.get("name", "zju-mocap") == "snapshot":
             return TrainDataset(
-                d["dataset_path"], bgcolor=cfg["bgcolor"], skip=d.get("skip", 1),
-                target_size=cfg["img_size"],
+                args.dataset_path or d["dataset_path"], bgcolor=cfg["bgcolor"],
+                skip=d.get("skip", 1), target_size=cfg["img_size"],
             ), "snapshot"
         return ZJUTestDataset(
             d["raw_dataset_path"], d["dataset_path"], test_type="view",
@@ -143,13 +143,25 @@ def main():
     ap.add_argument("--n_frames", type=int, default=100)
     ap.add_argument("--pose_path", default=None)
     ap.add_argument("--bgcolor", type=float, nargs=3, default=None)
+    ap.add_argument(
+        "--dataset_path", default=None,
+        help="override the eval split directory (snapshot view protocol "
+        "only) — used to evaluate the NOISY-pose test split raw vs refined",
+    )
+    ap.add_argument(
+        "--tag", default=None,
+        help="output name (log/eval dir/metric file) instead of --type, so "
+        "e.g. the raw and refined noisy-pose evals don't overwrite the "
+        "clean view eval",
+    )
     args = ap.parse_args()
+    tag = args.tag or args.type
 
     cfg = make_cfg(args.cfg)
     cfg["model"]["eval_mode"] = True
     if args.bgcolor is not None:
         cfg["bgcolor"] = list(args.bgcolor)
-    setup_logging(cfg["save_dir"], filename=f"log_eval_{args.type}.txt")
+    setup_logging(cfg["save_dir"], filename=f"log_eval_{tag}.txt")
 
     dataset, protocol = build_dataset(cfg, args)
     trainer = Trainer(cfg, dataset.get_canonical_info())
@@ -179,7 +191,7 @@ def main():
         )
         logging.info("using refined poses from %s", args.pose_path)
 
-    out_dir = os.path.join(cfg["save_dir"], "eval", args.type)
+    out_dir = os.path.join(cfg["save_dir"], "eval", tag)
     os.makedirs(out_dir, exist_ok=True)
     bg = jnp.asarray(np.asarray(cfg["bgcolor"], np.float32) / 255.0)
     budget = RenderBudgetCheck()
@@ -211,7 +223,7 @@ def main():
     budget.summarize()
     if evaluator is not None:
         means = evaluator.summarize(
-            os.path.join(cfg["save_dir"], "eval", f"metric_{args.type}.npy")
+            os.path.join(cfg["save_dir"], "eval", f"metric_{tag}.npy")
         )
         logging.info("metrics: %s", {k: round(v, 4) for k, v in means.items()})
 

@@ -58,9 +58,12 @@ def evaluate_on(trainer: Trainer, dataset, tb, split: str, random_bgcolor: bool,
         batch = to_device(dataset[i])
         rgb, mask, _ = trainer.forward(batch)
         # composite over the SAME background the item's target was composited
-        # with: under random_bgcolor each train item carries its own bg (the
-        # static dataset bg would score the background mismatch, not the
-        # model — reference train.py evaluates with the batch's bgcolor)
+        # with.  The reference keeps pred and GT on one STATIC background
+        # (it composites over dataloader.dataset.bgcolor, train.py:58-95,
+        # and its eval datasets are built with fixed cfg.bgcolor); here
+        # eval-on-train items carry per-item random backgrounds under
+        # random_bgcolor, so the equivalent is the item's own bg — a static
+        # bg would score the background mismatch, not the model
         item_bg = batch.get("bgcolor", None)
         pred = unpack(rgb, mask, item_bg if item_bg is not None else jnp.asarray(bg), clamp=True)
         evaluator.evaluate(np.asarray(pred), np.asarray(batch["target_rgbs"]))

@@ -109,14 +109,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", required=True)
     ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument(
+        "--dataset_path", default=None,
+        help="override the test split directory — point it at the NOISY-"
+        "pose split (tools/make_e2e_data.py --pose_noise) so refinement "
+        "has genuinely inaccurate poses to recover, like the reference's "
+        "real captures (train_pose.py:217-288)",
+    )
     args = ap.parse_args()
 
     cfg = make_cfg(args.cfg)
     setup_logging(cfg["save_dir"], "log_pose.txt")
     d = cfg["dataset"]["test_view"]
     dataset = TrainDataset(
-        d["dataset_path"], bgcolor=cfg["bgcolor"], skip=d.get("skip", 1),
-        target_size=cfg["img_size"],
+        args.dataset_path or d["dataset_path"], bgcolor=cfg["bgcolor"],
+        skip=d.get("skip", 1), target_size=cfg["img_size"],
     )
     trainer = Trainer(cfg, dataset.get_canonical_info())
     trainer.load_for_eval(os.path.join(cfg["save_dir"], "checkpoints"))

@@ -197,7 +197,7 @@ class TrainDataset(_ArtifactsMixin):
         self.framelist = _list_frames(self.image_dir)[::skip]
         if maxframes > 0:
             self.framelist = self.framelist[:maxframes]
-        if split_for_pose:  # monohuman split: train on first 4/5
+        if split_for_pose and len(self.framelist) >= 5:  # monohuman split: train on first 4/5
             self.framelist = self.framelist[: -(len(self.framelist) // 5)]
         self.bgcolor = bgcolor
         self.target_size = target_size

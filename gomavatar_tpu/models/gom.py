@@ -606,8 +606,11 @@ def subdivide_gom(params: dict, statics: GoMStatics, cfg: GoMConfig):
 
     new_statics = _build_statics(new_faces, new_verts, new_lbs)
     # Rescale the tile budgets for the new face count (4x coarser coverage
-    # per face before subdivision -> 4x smaller budgets after); scaling by
-    # the factor RATIO preserves any custom absolute tuning in cfg.
+    # per face before subdivision -> 4x smaller budgets after); custom
+    # absolute tunings in cfg scale by the factor RATIO — except that
+    # max_tiles_per_gaussian is additionally clamped to _MTG_FLOOR, which
+    # WINS over any custom value below it (sub-floor budgets measurably drop
+    # trained splat coverage at every phase; tools/tune_trained_budgets.py).
     bf_old = tile_budget_factor(cfg.num_faces)
     bf_new = tile_budget_factor(F2)
     new_cfg = dataclasses.replace(

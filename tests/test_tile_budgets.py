@@ -182,3 +182,15 @@ def test_subdivide_preserves_custom_budgets_when_factor_unchanged():
     assert cfg2.max_tiles_per_gaussian == 96
     assert cfg2.max_tiles_per_face == 48
     assert cfg2.buffer_factor == 24
+
+
+def test_subdivide_floor_wins_over_sub_floor_custom_budget():
+    # a custom max_tiles_per_gaussian BELOW _MTG_FLOOR is deliberately
+    # raised to the floor by the rescale (sub-floor budgets measurably drop
+    # trained splat coverage — the floor wins; models/gom.py:subdivide_gom)
+    from gomavatar_tpu.models.gom import _MTG_FLOOR
+
+    info, params, statics, cfg = _full_model(n_rings=12, n_seg=8)
+    cfg = dataclasses.replace(cfg, max_tiles_per_gaussian=_MTG_FLOOR // 2)
+    _, _, cfg2 = subdivide_gom(params, statics, cfg)
+    assert cfg2.max_tiles_per_gaussian == _MTG_FLOOR

@@ -1,8 +1,9 @@
 #!/bin/bash
-# End-to-end demonstration run (VERDICT r2 item 1): the full compressed
-# training schedule + every eval driver on the TPU, against the synthetic
-# teacher capture.  Produces log/e2e_synthetic/* and artifacts/e2e_trained.pkl;
-# E2E.md summarizes the results.
+# End-to-end demonstration run (VERDICT r2 item 1, extended r5): the full
+# compressed training schedule + ALL FIVE eval protocols + the noisy-pose
+# refinement chain + a no-subdivision control ablation, on the TPU, against
+# the synthetic teacher capture.  Produces log/e2e_synthetic/* and
+# artifacts/e2e_trained.npz; E2E.md summarizes the results.
 #
 # Every stage runs under tools/watchdog_run.py: the TPU tunnel occasionally
 # wedges client processes forever, so a stage is killed and retried when its
@@ -18,14 +19,14 @@ export JAX_COMPILATION_CACHE_DIR=~/.cache/jax_gomavatar
 CFG=${E2E_CFG:-configs/exps/e2e_synthetic.yaml}
 DIR=${E2E_DIR:-log/e2e_synthetic}
 DATA=${E2E_DATA:-data/e2e}
-ART=${E2E_ART:-artifacts/e2e_trained.pkl}
+ART=${E2E_ART:-artifacts/e2e_trained.npz}
 STALL=${E2E_STALL:-1800}
 CKPT=$DIR/checkpoints
 WD="python tools/watchdog_run.py --stall $STALL --retries 4"
 
 [ -d $DATA/train ] || python tools/make_e2e_data.py --out $DATA $E2E_DATAGEN_ARGS
 
-echo "=== train (6000 iters, subdivision @2001, kick-ins 2500/3000) ==="
+echo "=== train (6000 iters, subdivision @1001, kick-ins 2000/3000) ==="
 $WD --log $DIR/log.txt --retry-arg=--resume -- python train.py --cfg $CFG
 
 echo "=== resume check: replay subdivision, restore, +100 iters ==="
@@ -40,15 +41,39 @@ $WD --log $DIR/log_eval_train.txt -- python eval.py --cfg $CFG --type train
 echo "=== eval: freeview orbit ==="
 $WD --log $DIR/log_eval_freeview.txt -- python eval.py --cfg $CFG --type freeview --n_frames ${E2E_FREEVIEW_FRAMES:-30}
 
-echo "=== test-time pose refinement (6 test frames) ==="
-$WD --log $DIR/log_pose.txt -- python train_pose.py --cfg $CFG --max_frames ${E2E_POSE_FRAMES:-6}
+echo "=== eval: novel pose (MonoHuman last-1/5 split, raw-ZJU protocol) ==="
+$WD --log $DIR/log_eval_pose.txt -- python eval.py --cfg $CFG --type pose
+
+echo "=== eval: MDM novel-pose animation ==="
+$WD --log $DIR/log_eval_pose_mdm.txt -- python eval.py --cfg $CFG --type pose_mdm
+
+echo "=== noisy-pose chain: raw eval on the PERTURBED test split ==="
+$WD --log $DIR/log_eval_view_noisy_raw.txt -- python eval.py --cfg $CFG --type view --dataset_path $DATA/test_noisy --tag view_noisy_raw
+
+echo "=== test-time pose refinement on the perturbed poses ==="
+$WD --log $DIR/log_pose.txt -- python train_pose.py --cfg $CFG --max_frames ${E2E_POSE_FRAMES:-6} --dataset_path $DATA/test_noisy
 
 echo "=== eval with refined poses chained in ==="
-$WD --log $DIR/log_eval_view.txt -- python eval.py --cfg $CFG --type view --pose_path $CKPT/pose.pkl
+$WD --log $DIR/log_eval_view_noisy_refined.txt -- python eval.py --cfg $CFG --type view --dataset_path $DATA/test_noisy --pose_path $CKPT/pose.pkl --tag view_noisy_refined
 
 echo "=== export trained artifact for bench.py ==="
 : > /tmp/export_trained.log
 $WD --log /tmp/export_trained.log -- bash -c "python tools/export_trained.py --cfg $CFG --out $ART >> /tmp/export_trained.log 2>&1"
 cat /tmp/export_trained.log
+
+if [ "${E2E_CONTROL:-1}" = "1" ]; then
+  echo "=== control ablation: IDENTICAL schedule with subdivision OFF ==="
+  CTRL_CFG=$DIR/config_nosubdiv.yaml
+  CTRL_DIR=${DIR}_nosubdiv
+  python - "$CFG" "$CTRL_CFG" <<'EOF'
+import sys, yaml
+cfg = yaml.safe_load(open(sys.argv[1]))
+cfg["exp_name"] = cfg["exp_name"] + "_nosubdiv"
+cfg.setdefault("model", {})["subdivide_iters"] = []
+yaml.safe_dump(cfg, open(sys.argv[2], "w"))
+EOF
+  $WD --log $CTRL_DIR/log.txt --retry-arg=--resume -- python train.py --cfg $CTRL_CFG
+  $WD --log $CTRL_DIR/log_eval_view.txt -- python eval.py --cfg $CTRL_CFG --type view
+fi
 
 echo "ALL E2E STAGES DONE"
