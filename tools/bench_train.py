@@ -22,6 +22,8 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+import _mfu
+
 
 def main():
     from __graft_entry__ import _flagship
@@ -75,6 +77,12 @@ def main():
         jax.block_until_ready(p)
         dt = (time.perf_counter() - t0) / n
         print(f"train step ({label}): {dt * 1000:.2f} ms -> {1 / dt:.1f} it/s", flush=True)
+        flops, nbytes = _mfu.compiled_cost(
+            step, (p, o, statics, lp, batch, jnp.float32(0.0)))
+        peaks = _mfu.device_peaks()
+        if flops is not None:
+            print("  " + _mfu.fmt_row(f"cost ({label})", dt * 1e3, flops,
+                                      nbytes, *peaks), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,11 @@ os.environ.setdefault(
 import jax
 import jax.numpy as jnp
 
+import _mfu
+
+
+_PEAKS = (None, None)  # set in main() from the actual device
+
 
 def _time(fn, args, n, name):
     out = fn(*args)
@@ -40,7 +45,8 @@ def _time(fn, args, n, name):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"{name:28s} {dt:8.3f} ms")
+    flops, nbytes = _mfu.compiled_cost(fn, args)
+    print(_mfu.fmt_row(name, dt, flops, nbytes, *_PEAKS))
     return out, dt
 
 
@@ -74,9 +80,17 @@ def main():
         cfg = dataclasses.replace(
             cfg, binning_band0=args.band0 if args.band0 > 0 else None
         )
+    global _PEAKS
+    _PEAKS = _mfu.device_peaks()
+    dev = jax.devices()[0]
     print(f"scene: {cfg.num_faces} faces @ {cfg.img_size}, "
-          f"band0={cfg.binning_band0}, backend={jax.devices()[0].platform}",
+          f"band0={cfg.binning_band0}, backend={dev.platform} "
+          f"({getattr(dev, 'device_kind', '?')})",
           file=sys.stderr)
+    if _PEAKS[0]:
+        print(f"peaks: {_PEAKS[0] / 1e12:.0f} TFLOP/s bf16, "
+              f"{_PEAKS[1] / 1e9:.0f} GB/s HBM (MFU is a lower bound: "
+              f"XLA flop counts are precision-blind)", file=sys.stderr)
     n = args.iters
     K, E = batch["K"], batch["E"]
     F = statics.faces.shape[0]
