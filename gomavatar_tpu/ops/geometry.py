@@ -303,6 +303,20 @@ def frame_geometry(
     tb_y0 = jnp.minimum(jnp.minimum(y0, y1), y2)
     tb_y1 = jnp.maximum(jnp.maximum(y0, y1), y2)
 
+    # Window-cull mesh faces like the splat pass's on_screen does: a face
+    # whose blurred bbox misses the render window can't touch any pixel, but
+    # binning would CLAMP its bbox onto the boundary tiles — harmless when
+    # the subject fits in frame, pathological for windowed renders (a
+    # quadrant render of a 2x frame piled thousands of off-window faces
+    # onto edge tiles and overflowed the kernel's per-tile sweep cap).
+    mesh_on = (
+        (tb_x1 + m >= 0)
+        & (tb_x0 - m <= W - 1)
+        & (tb_y1 + m >= 0)
+        & (tb_y0 - m <= H - 1)
+    )
+    in_front_mesh = in_front_mesh & mesh_on
+
     opacity = splat_valid.astype(jnp.float32)  # GoM opacity is fixed 1.0
 
     table = jnp.stack(

@@ -359,3 +359,56 @@ def test_two_band_bin_bboxes_identical_when_cap_suffices():
         assert int(getattr(one.telemetry, field)) == int(
             getattr(two.telemetry, field)
         ), field
+
+
+def test_frame_geometry_window_culls_offwindow_mesh_faces():
+    """Faces whose blurred bbox misses the render window must not reach
+    binning (valid_mesh False) — a windowed render (e.g. the quadrant
+    teacher renders of tools/make_e2e_data.py) would otherwise clamp
+    thousands of off-window faces onto the boundary tiles and overflow the
+    kernel's per-tile sweep cap.  Splat culling (projection.py on_screen)
+    already behaved this way; this pins the mesh pass to match."""
+    from gomavatar_tpu.ops.geometry import frame_geometry
+    import gomavatar_tpu.models.modules as M
+
+    params, statics, gom_cfg, batch = _scene()
+    verts_obs = _verts_obs(params, statics, batch, gom_cfg)
+    colors = M.appearance_apply(params["appearance"])
+    margin = 2.0
+
+    def geo(K):
+        return frame_geometry(
+            verts_obs, statics.faces, params["so3"], params["scale"], colors,
+            statics.vf_incidence, statics.vf_valid, jnp.asarray(K),
+            batch["E"], IMG, gom_cfg.sigma, blur_margin_px=margin,
+        )
+
+    base = geo(batch["K"])
+    n_base = int(np.asarray(base.valid_mesh).sum())
+    assert n_base > 0
+
+    # window far from the subject: everything culled, both passes
+    K_off = np.asarray(batch["K"], np.float32).copy()
+    K_off[0, 2] -= 10 * IMG[0]
+    off = geo(K_off)
+    assert int(np.asarray(off.valid_mesh).sum()) == 0
+    assert int(np.asarray(off.valid_splat).sum()) == 0
+
+    # window over the left half: culls SOME faces, and agrees exactly with
+    # the baseline bbox-vs-window test away from fp-boundary ties
+    dx = IMG[0] // 2
+    K_half = np.asarray(batch["K"], np.float32).copy()
+    K_half[0, 2] -= dx
+    half = geo(K_half)
+    vm = np.asarray(half.valid_mesh)
+    n_half = int(vm.sum())
+    assert 0 < n_half < n_base
+
+    # shifted bboxes from the BASELINE geometry predict the half-window cull
+    x1s = np.asarray(base.mx1) - dx  # mx1 already includes +margin
+    x0s = np.asarray(base.mx0) - dx
+    base_vm = np.asarray(base.valid_mesh)
+    must_keep = base_vm & (x1s >= 1.0) & (x0s <= IMG[0] - 2.0)
+    must_cull = ~base_vm | (x1s <= -1.0) | (x0s >= IMG[0] + 0.0)
+    assert np.all(vm[must_keep]), "over-culled a face overlapping the window"
+    assert not np.any(vm[must_cull]), "kept a face clear of the window"

@@ -300,11 +300,26 @@ def write_zju_raw(raw_dir: str, train_dir: str, params, statics, gom_cfg,
     fifth = len(names) // 5
     pose_names = names[-fifth:] if fifth > 0 else names
 
-    # budgets sized for the 2x-resolution render of the COARSE teacher (per-
-    # gaussian tile footprint is ~4x the training size; offline, so generous)
+    # The 2x frame (64x64 tiles) would overflow the binner's 11-bit sort-key
+    # tile field (ops/splat/binning.py caps a render at 2047 tiles), so each
+    # frame is rendered as four quadrants with the principal point shifted
+    # per quadrant and stitched on the host.  Each quadrant window carries a
+    # 32px apron toward the frame interior (cropped after the render):
+    # primitives are culled against the render window (projection.py
+    # on_screen), so without the apron a primitive just outside a quadrant
+    # is dropped while its bbox-tail still touches cropped pixels in the
+    # full render (measured: <=0.03 alpha on <0.1% of pixels, all within
+    # one tile of the seam).  With the apron, a culled primitive is >=32px
+    # from every kept pixel — beyond any bbox margin the binner enumerates
+    # — so the stitch matches a monolithic render to fp noise.  Budgets
+    # stay 4x: a window of the 2x render sees up to the full 2x
+    # per-gaussian footprint; offline, so generous.
+    QW, QH = W // 2, H // 2
+    APRON = 2 * 16  # tile-aligned
+    VW, VH = QW + APRON, QH + APRON  # render-window size per quadrant
     cfg2 = dataclasses.replace(
         gom_cfg,
-        img_size=(W, H),
+        img_size=(VW, VH),
         max_tiles_per_gaussian=4 * gom_cfg.max_tiles_per_gaussian,
         max_tiles_per_face=4 * gom_cfg.max_tiles_per_face,
         buffer_factor=4 * gom_cfg.buffer_factor,
@@ -314,11 +329,39 @@ def write_zju_raw(raw_dir: str, train_dir: str, params, statics, gom_cfg,
     )
 
     @jax.jit
-    def fwd(K_, E_, cnl, Rs, Ts, posevec):
+    def fwd_quadrant(K_, E_, cnl, Rs, Ts, posevec):
         return gom_forward(
             params, statics, cfg2, K_, E_, cnl, Rs, Ts,
             dst_posevec=posevec, i_iter=1e7, train=False,
         )
+
+    def fwd(K_, E_, cnl, Rs, Ts, posevec):
+        rgb_full = np.zeros((H, W, 3), np.float32)
+        mask_full = np.zeros((H, W), np.float32)
+        dropped = 0
+        for oy in (0, QH):
+            for ox in (0, QW):
+                # window origin: apron extends toward the frame interior
+                wx = max(0, ox - (APRON if ox else 0))
+                wy = max(0, oy - (APRON if oy else 0))
+                Kq = np.asarray(K_, np.float32).copy()
+                Kq[0, 2] -= wx
+                Kq[1, 2] -= wy
+                rgb, mask, aux = fwd_quadrant(
+                    jnp.asarray(Kq), E_, cnl, Rs, Ts, posevec
+                )
+                lx, ly = ox - wx, oy - wy  # crop offset inside the window
+                rgb_full[oy:oy + QH, ox:ox + QW] = np.asarray(
+                    rgb[ly:ly + QH, lx:lx + QW]
+                )
+                mask_full[oy:oy + QH, ox:ox + QW] = np.asarray(
+                    mask[ly:ly + QH, lx:lx + QW]
+                )
+                tel = aux.get("binning")
+                if tel is not None:
+                    dropped += int(tel.total_dropped())
+                dropped += int(aux.get("tile_overflow", 0))
+        return rgb_full, mask_full, dropped
 
     cnl_gtfms = get_canonical_global_tfms_np(
         np.asarray(mesh_infos[pose_names[0]]["tpose_joints"], np.float32)
@@ -338,15 +381,12 @@ def write_zju_raw(raw_dir: str, train_dir: str, params, statics, gom_cfg,
             E_eff = apply_global_tfm_to_camera(
                 Es[vi], mi["Rh"].astype(np.float32), mi["Th"].astype(np.float32)
             )
-            rgb, mask, aux = fwd(
-                jnp.asarray(K, jnp.float32), jnp.asarray(E_eff, jnp.float32),
+            rgb, mask, dropped = fwd(
+                K, jnp.asarray(E_eff, jnp.float32),
                 jnp.asarray(cnl_gtfms), jnp.asarray(dst_Rs), jnp.asarray(dst_Ts),
                 jnp.asarray(mi["poses"].reshape(-1)[3:] + 1e-2),
             )
-            tel = aux.get("binning")
-            if tel is not None:
-                dropped = int(tel.total_dropped()) + int(aux.get("tile_overflow", 0))
-                assert dropped == 0, f"zju_raw teacher render dropped {dropped} ({name})"
+            assert dropped == 0, f"zju_raw teacher render dropped {dropped} ({name})"
             rgb8 = (np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8)
             m8 = (np.clip(np.asarray(mask), 0, 1) * 255).astype(np.uint8)
             Image.fromarray(rgb8).save(

@@ -24,7 +24,13 @@ STALL=${E2E_STALL:-1800}
 CKPT=$DIR/checkpoints
 WD="python tools/watchdog_run.py --stall $STALL --retries 4"
 
-[ -d $DATA/train ] || python tools/make_e2e_data.py --out $DATA $E2E_DATAGEN_ARGS
+# Data gen runs under the watchdog too (its first device contact can hit the
+# same tunnel wedge as any stage — observed r5).  teacher.npz is written
+# last, so its presence means the capture is complete; a partial capture
+# from a killed attempt is regenerated from scratch (the generator is
+# idempotent).
+mkdir -p $DIR
+[ -f $DATA/teacher.npz ] || $WD --log $DIR/log_datagen.txt -- bash -c "python tools/make_e2e_data.py --out $DATA $E2E_DATAGEN_ARGS >> $DIR/log_datagen.txt 2>&1"
 
 echo "=== train (6000 iters, subdivision @1001, kick-ins 2000/3000) ==="
 $WD --log $DIR/log.txt --retry-arg=--resume -- python train.py --cfg $CFG
